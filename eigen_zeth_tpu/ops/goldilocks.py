@@ -1,0 +1,269 @@
+"""Goldilocks prime field GF(p), p = 2^64 - 2^32 + 1, in uint32 limb form.
+
+This is the base field of the STARK/FRI chunk-proving layer (the compute the
+reference delegates to its external eigen-prover service over
+proto/prover/v1/prover.proto:9-11; nothing in the reference repo computes
+field arithmetic itself — see SURVEY.md §2.9-bis).
+
+TPU-first design decisions:
+  * An array of field elements is a pair of uint32 planes (lo, hi) —
+    structure-of-limbs, so each plane maps densely onto VPU lanes and all
+    field ops are elementwise uint32 ops with no cross-lane traffic.
+  * Multiplication uses 16-bit half-limb products (ops/u32.mulhilo32) and
+    the special form of p for reduction:
+        2^64 ≡ 2^32 - 1 (mod p)        2^96 ≡ -1 (mod p)
+    so a 128-bit product n = n_lo + 2^64·c + 2^96·d reduces as
+        n ≡ n_lo + c·(2^32 - 1) - d (mod p)
+    entirely in 32-bit words — no Montgomery form needed.
+  * Values are kept canonical (< p) after every op, so equality is plain
+    limb equality and serialization is direct.
+  * Inversion is exponentiation by p-2 (fixed 64-bit exponent): fully
+    parallel across lanes, unlike the sequential Montgomery batch trick.
+
+All public ops are jit-safe: static shapes, no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .u32 import add64, geq64, mul64, sub64
+
+P = 0xFFFFFFFF00000001  # 2^64 - 2^32 + 1
+P_LO = jnp.uint32(0x00000001)
+P_HI = jnp.uint32(0xFFFFFFFF)
+NEG_ORDER = jnp.uint32(0xFFFFFFFF)  # 2^64 - p = 2^32 - 1
+
+# Multiplicative group order p-1 = 2^32 · 3 · 5 · 17 · 257 · 65537.
+# 2^32 | p-1 means radix-2 NTTs exist up to size 2^32.
+TWO_ADICITY = 32
+# 7 generates the multiplicative group; g = 7^((p-1)/2^32) is a primitive
+# 2^32-th root of unity (standard for this field).
+MULTIPLICATIVE_GENERATOR = 7
+
+
+class GF(NamedTuple):
+    """Array of Goldilocks elements as two uint32 planes (little-endian)."""
+
+    lo: jnp.ndarray
+    hi: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.lo.shape
+
+    def __len__(self):
+        return self.lo.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# host <-> device conversion
+
+
+def from_int(values, shape=None) -> GF:
+    """Build a GF array from python ints / numpy uint64 (host-side)."""
+    arr = np.asarray(values, dtype=np.uint64) % np.uint64(P)
+    if shape is not None:
+        arr = arr.reshape(shape)
+    lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (arr >> np.uint64(32)).astype(np.uint32)
+    return GF(jnp.asarray(lo), jnp.asarray(hi))
+
+
+def to_int(x: GF) -> np.ndarray:
+    """GF array -> numpy uint64 (host-side)."""
+    lo = np.asarray(jax.device_get(x.lo), dtype=np.uint64)
+    hi = np.asarray(jax.device_get(x.hi), dtype=np.uint64)
+    return lo | (hi << np.uint64(32))
+
+
+def zeros(shape) -> GF:
+    z = jnp.zeros(shape, dtype=jnp.uint32)
+    return GF(z, z)
+
+
+def ones(shape) -> GF:
+    return GF(jnp.ones(shape, dtype=jnp.uint32), jnp.zeros(shape, dtype=jnp.uint32))
+
+
+def full(shape, value: int) -> GF:
+    value %= P
+    return GF(
+        jnp.full(shape, value & 0xFFFFFFFF, dtype=jnp.uint32),
+        jnp.full(shape, value >> 32, dtype=jnp.uint32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# core arithmetic
+
+
+def _canonical(lo, hi):
+    """Conditional subtract p; input must be < 2p (as a 64-bit value)."""
+    ge = geq64(lo, hi, P_LO, P_HI)
+    slo, shi, _ = sub64(lo, hi, P_LO, P_HI)
+    return jnp.where(ge, slo, lo), jnp.where(ge, shi, hi)
+
+
+def add(a: GF, b: GF) -> GF:
+    lo, hi, carry = add64(a.lo, a.hi, b.lo, b.hi)
+    # carry: +2^64 ≡ +(2^32-1); cannot re-carry (see module docstring proof)
+    adj = jnp.where(carry.astype(bool), NEG_ORDER, jnp.uint32(0))
+    lo2, hi2, _ = add64(lo, hi, adj, jnp.uint32(0))
+    return GF(*_canonical(lo2, hi2))
+
+
+def sub(a: GF, b: GF) -> GF:
+    lo, hi, borrow = sub64(a.lo, a.hi, b.lo, b.hi)
+    # borrow: -2^64 ≡ -(2^32-1); cannot re-borrow
+    adj = jnp.where(borrow.astype(bool), NEG_ORDER, jnp.uint32(0))
+    lo2, hi2, _ = sub64(lo, hi, adj, jnp.uint32(0))
+    return GF(lo2, hi2)
+
+
+def neg(a: GF) -> GF:
+    lo, hi, _ = sub64(P_LO, P_HI, a.lo, a.hi)
+    is_zero = (a.lo == 0) & (a.hi == 0)
+    return GF(
+        jnp.where(is_zero, jnp.uint32(0), lo),
+        jnp.where(is_zero, jnp.uint32(0), hi),
+    )
+
+
+def reduce128(r0, r1, r2, r3) -> GF:
+    """Reduce a 128-bit value (four LE uint32 words) mod p.
+
+    n = x_lo + 2^64·r2 + 2^96·r3 ≡ x_lo + r2·(2^32-1) - r3 (mod p)."""
+    # t0 = x_lo - r3, with -2^64 ≡ -(2^32-1) adjustment on borrow
+    t0_lo, t0_hi, borrow = sub64(r0, r1, r3, jnp.uint32(0))
+    adj = jnp.where(borrow.astype(bool), NEG_ORDER, jnp.uint32(0))
+    t0_lo, t0_hi, _ = sub64(t0_lo, t0_hi, adj, jnp.uint32(0))
+    # t1 = r2 * (2^32 - 1) = (r2 << 32) - r2, branchless
+    nz = (r2 != 0).astype(jnp.uint32)
+    t1_lo = jnp.uint32(0) - r2
+    t1_hi = r2 - nz
+    # res = t0 + t1, with +2^64 ≡ +(2^32-1) adjustment on carry
+    res_lo, res_hi, carry = add64(t0_lo, t0_hi, t1_lo, t1_hi)
+    adj = jnp.where(carry.astype(bool), NEG_ORDER, jnp.uint32(0))
+    res_lo, res_hi, _ = add64(res_lo, res_hi, adj, jnp.uint32(0))
+    return GF(*_canonical(res_lo, res_hi))
+
+
+def mul(a: GF, b: GF) -> GF:
+    return reduce128(*mul64(a.lo, a.hi, b.lo, b.hi))
+
+
+def square(a: GF) -> GF:
+    return mul(a, a)
+
+
+def mul_scalar(a: GF, c: int) -> GF:
+    """Multiply by a compile-time constant."""
+    c %= P
+    b = GF(jnp.uint32(c & 0xFFFFFFFF), jnp.uint32(c >> 32))
+    return mul(a, GF(jnp.broadcast_to(b.lo, a.lo.shape), jnp.broadcast_to(b.hi, a.hi.shape)))
+
+
+def pow_const(a: GF, e: int) -> GF:
+    """a^e for a compile-time constant exponent (square-and-multiply,
+    unrolled at trace time — ≤ 2·64 muls)."""
+    if e == 0:
+        return ones(a.lo.shape)
+    e %= P - 1
+    result = None
+    base = a
+    while e:
+        if e & 1:
+            result = base if result is None else mul(result, base)
+        e >>= 1
+        if e:
+            base = square(base)
+    return result if result is not None else ones(a.lo.shape)
+
+
+def inv(a: GF) -> GF:
+    """Multiplicative inverse via a^(p-2); inv(0) = 0 by convention."""
+    return pow_const(a, P - 2)
+
+
+def eq(a: GF, b: GF) -> jnp.ndarray:
+    return (a.lo == b.lo) & (a.hi == b.hi)
+
+
+def is_zero(a: GF) -> jnp.ndarray:
+    return (a.lo == 0) & (a.hi == 0)
+
+
+def select(pred, a: GF, b: GF) -> GF:
+    """Elementwise pred ? a : b."""
+    return GF(jnp.where(pred, a.lo, b.lo), jnp.where(pred, a.hi, b.hi))
+
+
+# ---------------------------------------------------------------------------
+# structural helpers (jit-safe reshapes / indexing over both planes)
+
+
+def reshape(a: GF, shape) -> GF:
+    return GF(a.lo.reshape(shape), a.hi.reshape(shape))
+
+
+def transpose(a: GF, axes=None) -> GF:
+    return GF(jnp.transpose(a.lo, axes), jnp.transpose(a.hi, axes))
+
+
+def concatenate(parts: Sequence[GF], axis=0) -> GF:
+    return GF(
+        jnp.concatenate([p.lo for p in parts], axis=axis),
+        jnp.concatenate([p.hi for p in parts], axis=axis),
+    )
+
+
+def take(a: GF, idx, axis=0) -> GF:
+    return GF(jnp.take(a.lo, idx, axis=axis), jnp.take(a.hi, idx, axis=axis))
+
+
+def dynamic_slice_in_dim(a: GF, start, size, axis=0) -> GF:
+    return GF(
+        jax.lax.dynamic_slice_in_dim(a.lo, start, size, axis),
+        jax.lax.dynamic_slice_in_dim(a.hi, start, size, axis),
+    )
+
+
+def stack(parts: Sequence[GF], axis=0) -> GF:
+    return GF(
+        jnp.stack([p.lo for p in parts], axis=axis),
+        jnp.stack([p.hi for p in parts], axis=axis),
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-side scalar math (python ints; for twiddle/constant generation)
+
+
+def h_mul(a: int, b: int) -> int:
+    return (a * b) % P
+
+
+def h_pow(a: int, e: int) -> int:
+    return pow(a, e, P)
+
+
+def h_inv(a: int) -> int:
+    return pow(a, P - 2, P)
+
+
+def primitive_root_of_unity(order: int) -> int:
+    """Primitive `order`-th root of unity; order must divide 2^32."""
+    assert order & (order - 1) == 0 and order <= (1 << TWO_ADICITY)
+    g = pow(MULTIPLICATIVE_GENERATOR, (P - 1) // (1 << TWO_ADICITY), P)
+    return pow(g, (1 << TWO_ADICITY) // order, P)
+
+
+def random_gf(shape, rng: np.random.Generator) -> GF:
+    """Uniform random canonical elements (host-side, for tests/benches)."""
+    vals = rng.integers(0, P, size=shape, dtype=np.uint64)
+    return from_int(vals)

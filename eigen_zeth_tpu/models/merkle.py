@@ -1,0 +1,88 @@
+"""Poseidon Merkle tree — the prover's vector-commitment.
+
+Tree construction is bulk device work (every level is one vectorized
+2-to-1 Poseidon compression over the whole level); openings pull only the
+queried O(log N) digests to the host.  Verification is host-side bigint
+math so an untrusting party can check proofs without a TPU.
+
+Role in the stack: commits to LDE'd trace/constraint polynomials for the
+FRI layer (BASELINE config 2: Merkle commit over 2^16 leaves; the
+reference's equivalent lives in its external prover service —
+SURVEY.md §2.9-bis).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from ..ops import goldilocks as gl
+from ..ops import poseidon
+from ..ops.goldilocks import GF
+
+
+@dataclass
+class MerkleTree:
+    """levels[0] = leaf digests (N, 4) ... levels[-1] = root (1, 4)."""
+
+    levels: List[GF]
+
+    @property
+    def num_leaves(self) -> int:
+        return self.levels[0].lo.shape[0]
+
+    def root(self) -> list[int]:
+        return [int(v) for v in gl.to_int(self.levels[-1])[0]]
+
+    def open(self, index: int) -> list[list[int]]:
+        """Sibling digests bottom-up for one leaf index (host ints)."""
+        path = []
+        idx = index
+        for level in self.levels[:-1]:
+            sib = idx ^ 1
+            digest = gl.to_int(GF(level.lo[sib], level.hi[sib]))
+            path.append([int(v) for v in digest])
+            idx >>= 1
+        return path
+
+
+def commit_digests(leaf_digests: GF) -> MerkleTree:
+    """Build a tree over precomputed (N, 4) leaf digests; N a power of 2."""
+    n = leaf_digests.lo.shape[0]
+    assert n & (n - 1) == 0 and n >= 1
+    levels = [leaf_digests]
+    cur = leaf_digests
+    while cur.lo.shape[0] > 1:
+        even = GF(cur.lo[0::2], cur.hi[0::2])
+        odd = GF(cur.lo[1::2], cur.hi[1::2])
+        cur = poseidon.hash_two(even, odd)
+        levels.append(cur)
+    return MerkleTree(levels=levels)
+
+
+def commit_leaves(leaves: GF) -> MerkleTree:
+    """Hash (N, k) field-element rows to digests, then build the tree."""
+    return commit_digests(poseidon.hash_elements(leaves))
+
+
+def verify_path(
+    root: list[int], index: int, leaf_values: list[int], path: list[list[int]]
+) -> bool:
+    """Host-side path check: leaf row -> digest -> fold siblings to root."""
+    digest = poseidon.hash_elements_host([int(v) for v in leaf_values])
+    idx = index
+    for sib in path:
+        if idx & 1:
+            digest = poseidon.hash_two_host(sib, digest)
+        else:
+            digest = poseidon.hash_two_host(digest, sib)
+        idx >>= 1
+    return digest == [int(v) for v in root]
+
+
+def leaf_row(leaves: GF, index: int) -> list[int]:
+    """Pull one leaf row to host ints (for building openings)."""
+    row = gl.to_int(GF(leaves.lo[index], leaves.hi[index]))
+    return [int(v) for v in np.atleast_1d(row)]

@@ -1,0 +1,278 @@
+"""Generic multi-precision modular arithmetic in 16-bit limbs (uint32 lanes).
+
+The MSM/Groth16 layer needs 254-bit BN254 arithmetic; TPUs have neither
+64-bit integers nor a wide multiplier, so elements live as L=16 limbs of
+16 bits, each limb stored in its own uint32 plane (limb-major: an array of
+N field elements is a (16, N) uint32 array → every limb plane maps densely
+onto VPU lanes).
+
+Why radix 2^16 with a 32-bit accumulator: the CIOS Montgomery inner step
+computes  t + a_i·b_j + carry  with t, carry < 2^16 and
+a_i·b_j ≤ (2^16-1)^2, whose sum is exactly ≤ 2^32 - 1 — the classic
+"word product plus two words fits the double word" identity.  So the whole
+CIOS loop runs in uint32 with zero overflow headroom tricks.
+
+All loops are unrolled at trace time (L is a compile-time constant); there
+is no data-dependent control flow, so everything jits and shards cleanly.
+
+Replaces (TPU-native redesign): the 256-bit CPU/GPU arithmetic inside the
+reference's external eigen-prover (SURVEY.md §2.9-bis); the reference repo
+itself only ever parses the resulting proof integers as decimal strings
+(src/settlement/ethereum/mod.rs:445-481).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LIMB_BITS = 16
+MASK = jnp.uint32(0xFFFF)
+
+
+def limbs_from_int(value: int, n_limbs: int) -> np.ndarray:
+    out = np.zeros(n_limbs, dtype=np.uint32)
+    for i in range(n_limbs):
+        out[i] = (value >> (LIMB_BITS * i)) & 0xFFFF
+    return out
+
+
+def int_from_limbs(limbs) -> int:
+    v = 0
+    for i, limb in enumerate(np.asarray(limbs, dtype=np.uint64)):
+        v |= int(limb) << (LIMB_BITS * i)
+    return v
+
+
+class MontCtx:
+    """Precomputed Montgomery context for an odd modulus (host-side setup).
+
+    Device elements are (L, ...) uint32 arrays in Montgomery form
+    (a·R mod q, R = 2^(16·L))."""
+
+    def __init__(self, modulus: int, n_limbs: int = 16):
+        assert modulus % 2 == 1
+        self.q = modulus
+        self.L = n_limbs
+        self.R = 1 << (LIMB_BITS * n_limbs)
+        assert modulus < self.R
+        self.R_mod = self.R % modulus
+        self.R2_mod = (self.R * self.R) % modulus
+        # n0' = -q^{-1} mod 2^16
+        self.n0 = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        self.q_limbs_np = limbs_from_int(modulus, n_limbs)
+        self.q_limbs = jnp.asarray(self.q_limbs_np)
+        self.n0_j = jnp.uint32(self.n0)
+
+    # -- host <-> device ----------------------------------------------------
+
+    def from_int(self, values, mont: bool = True) -> jnp.ndarray:
+        """Python ints / iterable -> (L, ...) device array (Montgomery form)."""
+        arr = np.asarray(values, dtype=object)
+        flat = arr.reshape(-1)
+        out = np.zeros((self.L,) + (flat.shape[0],), dtype=np.uint32)
+        for i, v in enumerate(flat):
+            v = int(v) % self.q
+            if mont:
+                v = (v * self.R_mod) % self.q
+            out[:, i] = limbs_from_int(v, self.L)
+        return jnp.asarray(out.reshape((self.L,) + arr.shape))
+
+    def to_int(self, x: jnp.ndarray, mont: bool = True) -> np.ndarray:
+        """(L, ...) device array -> object ndarray of python ints."""
+        host = np.asarray(jax.device_get(x), dtype=np.uint64)
+        flat = host.reshape(self.L, -1)
+        out = np.empty(flat.shape[1], dtype=object)
+        r_inv = pow(self.R_mod, self.q - 2, self.q) if mont else 1
+        for i in range(flat.shape[1]):
+            v = int_from_limbs(flat[:, i])
+            out[i] = (v * r_inv) % self.q if mont else v
+        return out.reshape(host.shape[1:])
+
+    def zeros(self, shape=()) -> jnp.ndarray:
+        return jnp.zeros((self.L,) + tuple(shape), dtype=jnp.uint32)
+
+    def one_mont(self, shape=()) -> jnp.ndarray:
+        """Montgomery representation of 1 (= R mod q), broadcast to shape."""
+        base = limbs_from_int(self.R_mod, self.L).reshape((self.L,) + (1,) * len(tuple(shape)))
+        return jnp.broadcast_to(jnp.asarray(base), (self.L,) + tuple(shape)).copy()
+
+    def const_mont(self, value: int, shape=()) -> jnp.ndarray:
+        v = (int(value) % self.q) * self.R_mod % self.q
+        base = limbs_from_int(v, self.L).reshape((self.L,) + (1,) * len(tuple(shape)))
+        return jnp.broadcast_to(jnp.asarray(base), (self.L,) + tuple(shape)).copy()
+
+    # -- core modular ops (all shapes (L, ...)) -----------------------------
+
+    def _geq(self, a, b) -> jnp.ndarray:
+        """a >= b, limbwise lexicographic from the top limb."""
+        gt = jnp.zeros(a.shape[1:], dtype=bool)
+        eq = jnp.ones(a.shape[1:], dtype=bool)
+        for i in range(self.L - 1, -1, -1):
+            gt = gt | (eq & (a[i] > b[i]))
+            eq = eq & (a[i] == b[i])
+        return gt | eq
+
+    def _sub_raw(self, a, b):
+        """a - b assuming a >= b (limbwise with borrow chain)."""
+        out = []
+        borrow = jnp.zeros(a.shape[1:], dtype=jnp.uint32)
+        for i in range(self.L):
+            d = a[i] - b[i] - borrow
+            borrow = (d >> 31) & 1  # negative in int32 terms => wrapped
+            out.append(d & MASK)
+        return jnp.stack(out)
+
+    def _add_raw(self, a, b):
+        """a + b with carry chain; result may exceed q but fits L limbs + carry."""
+        out = []
+        carry = jnp.zeros(a.shape[1:], dtype=jnp.uint32)
+        for i in range(self.L):
+            s = a[i] + b[i] + carry
+            out.append(s & MASK)
+            carry = s >> 16
+        return jnp.stack(out), carry
+
+    def _cond_sub_q(self, t, extra):
+        """t (L limbs) + extra·2^(16L) minus q when >= q."""
+        qb = jnp.broadcast_to(
+            self.q_limbs.reshape((self.L,) + (1,) * (t.ndim - 1)), t.shape
+        )
+        ge = self._geq(t, qb) | (extra > 0)
+        sub = self._sub_raw_mod_carry(t, qb, extra)
+        return jnp.where(ge, sub, t)
+
+    def _sub_raw_mod_carry(self, a, b, extra):
+        """(a + extra·2^(16L)) - b  mod 2^(16L) (borrow absorbed by extra)."""
+        out = []
+        borrow = jnp.zeros(a.shape[1:], dtype=jnp.uint32)
+        for i in range(self.L):
+            d = a[i] - b[i] - borrow
+            borrow = (d >> 31) & 1
+            out.append(d & MASK)
+        return jnp.stack(out)
+
+    def add(self, a, b):
+        s, carry = self._add_raw(a, b)
+        return self._cond_sub_q(s, carry)
+
+    def sub(self, a, b):
+        qb = jnp.broadcast_to(
+            self.q_limbs.reshape((self.L,) + (1,) * (a.ndim - 1)), a.shape
+        )
+        lt = ~self._geq(a, b)
+        # a - b, or a + q - b where a < b
+        apq, carry = self._add_raw(a, qb)
+        diff_direct = self._sub_raw(a, b)
+        diff_wrap = self._sub_raw_mod_carry(apq, b, carry)
+        return jnp.where(lt, diff_wrap, diff_direct)
+
+    def neg(self, a):
+        qb = jnp.broadcast_to(
+            self.q_limbs.reshape((self.L,) + (1,) * (a.ndim - 1)), a.shape
+        )
+        is_zero = self.is_zero(a)
+        r = self._sub_raw(qb, a)
+        return jnp.where(is_zero, a, r)
+
+    def is_zero(self, a) -> jnp.ndarray:
+        z = a[0] == 0
+        for i in range(1, self.L):
+            z = z & (a[i] == 0)
+        return z
+
+    def eq(self, a, b) -> jnp.ndarray:
+        e = a[0] == b[0]
+        for i in range(1, self.L):
+            e = e & (a[i] == b[i])
+        return e
+
+    def mont_mul(self, a, b):
+        """CIOS Montgomery multiply: returns a·b·R^{-1} mod q.
+
+        Fully unrolled: L outer steps, each a vectorized multiply-accumulate
+        sweep over L limbs.  t has L+2 working words."""
+        L = self.L
+        shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+        zero = jnp.zeros(shape, dtype=jnp.uint32)
+        t = [zero] * (L + 2)
+        q = self.q_limbs
+        for i in range(L):
+            ai = a[i]
+            # t += ai * b
+            c = zero
+            for j in range(L):
+                tmp = t[j] + ai * b[j] + c
+                t[j] = tmp & MASK
+                c = tmp >> 16
+            tmp = t[L] + c
+            t[L] = tmp & MASK
+            t[L + 1] = t[L + 1] + (tmp >> 16)
+            # m = t0 * n0' mod 2^16 ; t += m*q ; t >>= 16
+            m = (t[0] * self.n0_j) & MASK
+            tmp = t[0] + m * q[0]
+            c = tmp >> 16
+            for j in range(1, L):
+                tmp = t[j] + m * q[j] + c
+                t[j - 1] = tmp & MASK
+                c = tmp >> 16
+            tmp = t[L] + c
+            t[L - 1] = tmp & MASK
+            t[L] = t[L + 1] + (tmp >> 16)
+            t[L + 1] = zero
+        res = jnp.stack(t[:L])
+        return self._cond_sub_q(res, t[L])
+
+    def mont_sq(self, a):
+        return self.mont_mul(a, a)
+
+    def to_mont(self, a):
+        r2 = jnp.broadcast_to(
+            jnp.asarray(limbs_from_int(self.R2_mod, self.L)).reshape(
+                (self.L,) + (1,) * (a.ndim - 1)
+            ),
+            a.shape,
+        )
+        return self.mont_mul(a, r2)
+
+    def from_mont(self, a):
+        one = jnp.zeros_like(a).at[0].set(1)
+        return self.mont_mul(a, one)
+
+    def mont_pow(self, a, exponent: int):
+        """a^e (Montgomery in/out) for a host-known exponent.
+
+        Uses lax.fori_loop over the exponent bits (LSB first) to keep the
+        trace small: the body contains two mont_muls, not e·mont_muls."""
+        nbits = max(exponent.bit_length(), 1)
+        bits = jnp.asarray(
+            [(exponent >> i) & 1 for i in range(nbits)], dtype=jnp.uint32
+        )
+        one = self.one_mont(a.shape[1:])
+
+        def body(i, carry):
+            result, base = carry
+            bit = bits[i]
+            mul = self.mont_mul(result, base)
+            result = jnp.where(bit.astype(bool), mul, result)
+            base = self.mont_sq(base)
+            return result, base
+
+        result, _ = jax.lax.fori_loop(0, nbits, body, (one, a))
+        return result
+
+    def inv(self, a):
+        """a^{-1} (Montgomery in/out) via Fermat; inv(0) = 0."""
+        return self.mont_pow(a, self.q - 2)
+
+    def select(self, pred, a, b):
+        """pred ? a : b with pred shaped like the element batch."""
+        return jnp.where(pred, a, b)
+
+
+@functools.lru_cache(maxsize=8)
+def mont_ctx(modulus: int, n_limbs: int = 16) -> MontCtx:
+    return MontCtx(modulus, n_limbs)

@@ -61,11 +61,24 @@ class MontCtx:
         assert modulus < self.R
         self.R_mod = self.R % modulus
         self.R2_mod = (self.R * self.R) % modulus
-        # n0' = -q^{-1} mod 2^16
-        self.n0 = (-pow(modulus, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
+        # full-width N' = -q^{-1} mod R (REDC uses m = T_lo * N' mod R)
+        self.nprime = (-pow(modulus, -1, self.R)) % self.R
         self.q_limbs_np = limbs_from_int(modulus, n_limbs)
         self.q_limbs = jnp.asarray(self.q_limbs_np)
-        self.n0_j = jnp.uint32(self.n0)
+        self.nprime_limbs = jnp.asarray(limbs_from_int(self.nprime, n_limbs))
+        # Antidiagonal-binning one-hot matrices for the matmul bigmul:
+        # row k sums limb products with i+j == k (lo parts) / i+j+1 == k (hi).
+        L = n_limbs
+        mlo = np.zeros((2 * L, L * L), dtype=np.float32)
+        mhi = np.zeros((2 * L, L * L), dtype=np.float32)
+        for i in range(L):
+            for j in range(L):
+                mlo[i + j, i * L + j] = 1.0
+                mhi[i + j + 1, i * L + j] = 1.0
+        self._mlo = jnp.asarray(mlo)
+        self._mhi = jnp.asarray(mhi)
+        self._mlo_half = jnp.asarray(mlo[:L])
+        self._mhi_half = jnp.asarray(mhi[:L])
 
     # -- host <-> device ----------------------------------------------------
 
@@ -190,41 +203,66 @@ class MontCtx:
             e = e & (a[i] == b[i])
         return e
 
-    def mont_mul(self, a, b):
-        """CIOS Montgomery multiply: returns a·b·R^{-1} mod q.
+    def _bigmul(self, a, b, half: bool = False):
+        """Full (or mod-R) product of L-limb values via antidiagonal matmul.
 
-        Fully unrolled: L outer steps, each a vectorized multiply-accumulate
-        sweep over L limbs.  t has L+2 working words."""
+        The 256 16-bit limb products are one broadcast uint32 multiply; the
+        Σ_{i+j=k} bin sums become two one-hot matmuls in f32 (operands
+        < 2^16, ≤ L terms per bin → sums < 2^21: exactly representable),
+        followed by a single carry-propagation sweep.  This keeps the jit
+        trace ~50 ops and puts the reduction on the MXU."""
         L = self.L
         shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
-        zero = jnp.zeros(shape, dtype=jnp.uint32)
-        t = [zero] * (L + 2)
-        q = self.q_limbs
-        for i in range(L):
-            ai = a[i]
-            # t += ai * b
-            c = zero
-            for j in range(L):
-                tmp = t[j] + ai * b[j] + c
-                t[j] = tmp & MASK
-                c = tmp >> 16
-            tmp = t[L] + c
-            t[L] = tmp & MASK
-            t[L + 1] = t[L + 1] + (tmp >> 16)
-            # m = t0 * n0' mod 2^16 ; t += m*q ; t >>= 16
-            m = (t[0] * self.n0_j) & MASK
-            tmp = t[0] + m * q[0]
-            c = tmp >> 16
-            for j in range(1, L):
-                tmp = t[j] + m * q[j] + c
-                t[j - 1] = tmp & MASK
-                c = tmp >> 16
-            tmp = t[L] + c
-            t[L - 1] = tmp & MASK
-            t[L] = t[L + 1] + (tmp >> 16)
-            t[L + 1] = zero
-        res = jnp.stack(t[:L])
-        return self._cond_sub_q(res, t[L])
+        # left-pad batch dims so ranks match before broadcasting
+        a2 = a.reshape((L,) + (1,) * (len(shape) - (a.ndim - 1)) + a.shape[1:])
+        b2 = b.reshape((L,) + (1,) * (len(shape) - (b.ndim - 1)) + b.shape[1:])
+        prod = (a2[:, None] * b2[None, :]).reshape(
+            (L * L, -1) if shape else (L * L, 1)
+        )
+        lo = (prod & MASK).astype(jnp.float32)
+        hi = (prod >> 16).astype(jnp.float32)
+        mlo = self._mlo_half if half else self._mlo
+        mhi = self._mhi_half if half else self._mhi
+        s = (
+            jnp.tensordot(mlo, lo, axes=([1], [0]))
+            + jnp.tensordot(mhi, hi, axes=([1], [0]))
+        ).astype(jnp.uint32)
+        s = s.reshape((s.shape[0],) + (shape if shape else ()))
+        # single carry sweep: bin sums < 2^21, carries < 2^6
+        out = []
+        c = jnp.zeros(shape, dtype=jnp.uint32)
+        nlimbs = L if half else 2 * L
+        for k in range(nlimbs):
+            v = s[k] + c
+            out.append(v & MASK)
+            c = v >> 16
+        return jnp.stack(out)  # final carry is 0 for full, dropped for half
+
+    def mont_mul(self, a, b):
+        """Montgomery multiply a·b·R^{-1} mod q via full-width REDC:
+
+          T = a·b;  m = T_lo·N' mod R;  t = (T + m·q) / R;  t -= q if t >= q
+
+        The low halves of T and m·q sum to 0 or exactly R, so only the high
+        halves are added, with carry-in 1 iff T_lo != 0."""
+        L = self.L
+        T = self._bigmul(a, b)  # (2L, ...)
+        t_lo = T[:L]
+        m = self._bigmul(t_lo, self._bcast_const(self.nprime_limbs, t_lo), half=True)
+        mq = self._bigmul(m, self._bcast_const(self.q_limbs, m))  # (2L, ...)
+        carry_low = (~self.is_zero(t_lo)).astype(jnp.uint32)
+        out = []
+        c = carry_low
+        for k in range(L):
+            v = T[L + k] + mq[L + k] + c
+            out.append(v & MASK)
+            c = v >> 16
+        return self._cond_sub_q(jnp.stack(out), c)
+
+    def _bcast_const(self, limbs, like):
+        return jnp.broadcast_to(
+            limbs.reshape((self.L,) + (1,) * (like.ndim - 1)), like.shape
+        )
 
     def mont_sq(self, a):
         return self.mont_mul(a, a)

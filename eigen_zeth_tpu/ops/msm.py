@@ -1,0 +1,286 @@
+"""Multi-scalar multiplication (Pippenger) over BN254 — TPU-native design.
+
+Replaces the MSM inside the reference's external eigen-prover
+(BASELINE config 3: 2^18 points, sharded across chips with psum bucket
+reduction; SURVEY.md §2.9-bis).  The classic GPU formulation scatters
+points into 2^c buckets — data-dependent indexing that is hostile to a
+dense-SIMD machine.  Here the scatter becomes sort + segmented scan:
+
+  per window w (digits d_i = bits [cw, cw+c) of each scalar):
+    1. argsort points by digit                       (dense, on-device)
+    2. inclusive *segmented* Hillis-Steele scan with the EC group op —
+       segment boundaries where the sorted digit changes; the scan's
+       value at each segment end is that bucket's point sum
+    3. one scatter of the ≤2^c segment-end sums into the bucket table
+    4. bucket aggregation Σ b·B_b = Σ_{b≥1} suffix_b via a reverse scan
+       plus a plain scan — no sequential 2^c-step loop
+  window combine: Horner over windows (c doublings + 1 add per window).
+
+Every scan is a lax.fori_loop whose body applies point_add ONCE to the
+full vector (Hillis-Steele): on a SIMD machine each step costs one
+full-width vector op regardless of masking, so log2(n) steps is optimal
+step-count-wise, and the jit trace stays small (a handful of point_add
+instantiations total, not O(windows·log n)).
+
+Field-generic (FqOps / Fq2Ops): the same code computes G1 and G2 MSMs.
+The multi-chip version (points partitioned per chip, psum-style bucket
+reduction over the mesh) lives in parallel/msm_dist.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bn254
+from .bn254 import PointJ, from_affine, point_add, point_double, to_affine
+
+DEFAULT_C = 8
+
+
+def scalar_digits(scalars, c: int = DEFAULT_C, nbits: int = 254) -> np.ndarray:
+    """Host: scalar ints -> (W, N) uint32 window digits, W = ceil(nbits/c)."""
+    n_windows = (nbits + c - 1) // c
+    out = np.zeros((n_windows, len(scalars)), dtype=np.uint32)
+    mask = (1 << c) - 1
+    for i, s in enumerate(scalars):
+        s = int(s)
+        for w in range(n_windows):
+            out[w, i] = (s >> (c * w)) & mask
+    return out
+
+
+def _tmap(fn, *trees):
+    return jax.tree_util.tree_map(fn, *trees)
+
+
+def _fori(lo, hi, body, init, eager: bool):
+    """lax.fori_loop, or a python loop when eager (CPU test path: avoids
+    XLA compiles, which are prohibitively slow for EC graphs on CPU)."""
+    if eager:
+        val = init
+        for i in range(lo, hi):
+            val = body(i, val)
+        return val
+    return jax.lax.fori_loop(lo, hi, body, init)
+
+
+def _point_select(F, pred, a: PointJ, b: PointJ) -> PointJ:
+    return PointJ(
+        F.select(pred, a.x, b.x), F.select(pred, a.y, b.y), F.select(pred, a.z, b.z)
+    )
+
+
+def _hs_scan(F, pts: PointJ, flags=None, reverse: bool = False, eager: bool = False) -> PointJ:
+    """Inclusive (optionally segmented) Hillis-Steele scan with the EC op
+    along the last axis.  flags marks segment starts; None = one segment.
+
+    One point_add in the trace; ceil(log2(n)) runtime steps."""
+    n = jax.tree_util.tree_leaves(pts)[0].shape[-1]
+    steps = max((n - 1).bit_length(), 0)
+    if reverse:
+        pts = _tmap(lambda l: jnp.flip(l, axis=-1), pts)
+        assert flags is None
+    nd = jax.tree_util.tree_leaves(pts)[0].ndim
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    have_flags = flags is not None
+    if not have_flags:
+        flags = jnp.zeros((1, n), dtype=bool)
+
+    def body(d, carry):
+        v, f = carry
+        s = jnp.int32(1) << d
+        sh_v = _tmap(lambda l: jnp.roll(l, s, axis=-1), v)
+        sh_f = jnp.roll(f, s, axis=-1)
+        valid = idx >= s  # (n,) broadcasts against trailing axis
+        combined = point_add(F, sh_v, v)
+        blocked = f if have_flags else jnp.zeros_like(f)
+        take_comb = valid & ~blocked
+        new_v = _point_select(F, take_comb, combined, v)
+        new_f = f | (valid & sh_f)
+        return new_v, new_f
+
+    out, _ = _fori(0, steps, body, (pts, flags), eager)
+    if reverse:
+        out = _tmap(lambda l: jnp.flip(l, axis=-1), out)
+    return out
+
+
+def _scan_total(F, pts: PointJ, eager: bool = False) -> PointJ:
+    """Σ over the last axis = last element of an inclusive plain scan."""
+    scanned = _hs_scan(F, pts, eager=eager)
+    return _tmap(lambda l: l[..., -1], scanned)
+
+
+def msm_window_sums(
+    F,
+    points: PointJ,
+    digits: jnp.ndarray,
+    c: int = DEFAULT_C,
+    window_group: int = 32,
+    eager: bool = False,
+) -> PointJ:
+    """Per-window bucket-aggregated sums S_w = Σ_b b·B_b; leaves (..., W)."""
+    n_windows, n = digits.shape
+    nbuckets = 1 << c
+
+    window_sums = []
+    for start in range(0, n_windows, window_group):
+        d = digits[start : start + window_group]  # (g, N)
+        g = d.shape[0]
+        order = jnp.argsort(d, axis=-1)
+        d_sorted = jnp.take_along_axis(d, order, axis=-1)
+        pts = _tmap(lambda leaf: jnp.take(leaf, order, axis=-1), points)
+
+        # segment starts: first element or digit change
+        first = jnp.ones((g, 1), dtype=bool)
+        flags = jnp.concatenate([first, d_sorted[:, 1:] != d_sorted[:, :-1]], axis=-1)
+        scanned = _hs_scan(F, pts, flags=flags[None], eager=eager)
+
+        # segment ends: last element or next flag set
+        last = jnp.ones((g, 1), dtype=bool)
+        ends = jnp.concatenate([flags[:, 1:], last], axis=-1)
+        # scatter segment-end sums into buckets; non-ends -> dummy slot
+        target = jnp.where(ends, d_sorted, jnp.uint32(nbuckets))
+        g_idx = jnp.arange(g)[:, None]
+
+        def scatter(leaf):
+            shape = leaf.shape[:-2] + (g, nbuckets + 1)
+            buckets = jnp.zeros(shape, dtype=leaf.dtype)
+            return buckets.at[..., g_idx, target].set(leaf)
+
+        buckets = _tmap(scatter, scanned)
+        # drop dummy slot + bucket 0 (zero digit contributes nothing)
+        buckets = _tmap(lambda l: l[..., 1:nbuckets], buckets)
+        # S_w = Σ_{b>=1} b·B_b = Σ suffix-sums
+        suffix = _hs_scan(F, buckets, reverse=True, eager=eager)
+        window_sums.append(_scan_total(F, suffix, eager=eager))  # leaves (..., g)
+
+    return _tmap(lambda *ls: jnp.concatenate(ls, axis=-1), *window_sums)  # (..., W)
+
+
+def msm(
+    F,
+    points: PointJ,
+    digits: jnp.ndarray,
+    c: int = DEFAULT_C,
+    window_group: int = 32,
+    eager: bool = False,
+) -> PointJ:
+    """MSM core: Σ_i s_i·P_i from precomputed window digits.
+
+    points: PointJ with leaf shape (..., N) (Jacobian; z=0 marks infinity)
+    digits: (W, N) uint32
+    returns a single PointJ (batch shape ())."""
+    n_windows = digits.shape[0]
+    S = msm_window_sums(F, points, digits, c, window_group, eager)
+
+    # Horner combine over windows: acc = 2^c · acc + S_w, from the top
+    def take_w(w):
+        return _tmap(lambda l: jnp.take(l, w, axis=-1), S)
+
+    def body(i, acc):
+        acc = _fori(0, c, lambda _, a: point_double(F, a), acc, eager)
+        return point_add(F, acc, take_w(n_windows - 2 - i))
+
+    acc0 = take_w(n_windows - 1)
+    return _fori(0, n_windows - 1, body, acc0, eager)
+
+
+def _host_horner(windows, c: int, fq2: bool = False):
+    """Host combine Σ_w 2^(cw)·S_w (python bigints; eager test path)."""
+    Fh = bn254.HOST_FQ2 if fq2 else bn254.HOST_FQ
+    acc = None
+    for S_w in reversed(windows):
+        for _ in range(c):
+            acc = bn254.h_ec_add(acc, acc, Fh)
+        acc = bn254.h_ec_add(acc, S_w, Fh)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# convenience wrappers (host ints in / host ints out)
+
+
+def _g1_device_points(points_int) -> PointJ:
+    F = bn254.FqOps()
+    xs = F.ctx.from_int([p[0] if p is not None else 0 for p in points_int])
+    ys = F.ctx.from_int([p[1] if p is not None else 0 for p in points_int])
+    inf = np.array([p is None for p in points_int])
+    return from_affine(F, xs, ys, is_inf=jnp.asarray(inf))
+
+
+def _g2_device_points(points_int) -> PointJ:
+    F = bn254.Fq2Ops()
+    x = (
+        F.fq.ctx.from_int([p[0][0] if p is not None else 0 for p in points_int]),
+        F.fq.ctx.from_int([p[0][1] if p is not None else 0 for p in points_int]),
+    )
+    y = (
+        F.fq.ctx.from_int([p[1][0] if p is not None else 0 for p in points_int]),
+        F.fq.ctx.from_int([p[1][1] if p is not None else 0 for p in points_int]),
+    )
+    inf = jnp.asarray(np.array([p is None for p in points_int]))
+    return from_affine(F, x, y, is_inf=inf)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _msm_jit_g1(points: PointJ, digits, c: int) -> PointJ:
+    return msm(bn254.FqOps(), points, digits, c=c)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _msm_jit_g2(points: PointJ, digits, c: int) -> PointJ:
+    return msm(bn254.Fq2Ops(), points, digits, c=c)
+
+
+def msm_g1(points_int, scalars, c: int = DEFAULT_C, use_jit: bool = True):
+    """Σ s_i·P_i on G1; host ints in, affine host ints out (None = inf).
+
+    use_jit=False runs eagerly — used by the hermetic CPU test suite,
+    where XLA CPU compile times for EC graphs are prohibitive; production
+    (TPU) runs always jit."""
+    F = bn254.FqOps()
+    pts = _g1_device_points(points_int)
+    digits = jnp.asarray(scalar_digits(scalars, c))
+    if use_jit:
+        out = _msm_jit_g1(pts, digits, c)
+        ax, ay = to_affine(F, out)
+        if bool(np.asarray(F.is_zero(out.z))):
+            return None
+        return (int(F.to_int(ax)[()]), int(F.to_int(ay)[()]))
+    # eager (CPU test) path: device window sums, host Horner combine
+    S = msm_window_sums(F, pts, digits, c=c, eager=True)
+    ax, ay = to_affine(F, S)
+    inf = np.asarray(F.is_zero(S.z))
+    xs, ys = F.to_int(ax), F.to_int(ay)
+    windows = [
+        None if inf[w] else (int(xs[w]), int(ys[w])) for w in range(digits.shape[0])
+    ]
+    return _host_horner(windows, c)
+
+
+def msm_g2(points_int, scalars, c: int = DEFAULT_C, use_jit: bool = True):
+    """Σ s_i·P_i on G2; host int pairs in, affine ((x0,x1),(y0,y1)) out."""
+    F = bn254.Fq2Ops()
+    pts = _g2_device_points(points_int)
+    digits = jnp.asarray(scalar_digits(scalars, c))
+    if use_jit:
+        out = _msm_jit_g2(pts, digits, c)
+        ax, ay = to_affine(F, out)
+        if bool(np.asarray(F.is_zero(out.z))):
+            return None
+        (x0, x1), (y0, y1) = F.to_int(ax), F.to_int(ay)
+        return ((int(x0[()]), int(x1[()])), (int(y0[()]), int(y1[()])))
+    S = msm_window_sums(F, pts, digits, c=c, eager=True)
+    ax, ay = to_affine(F, S)
+    inf = np.asarray(F.is_zero(S.z))
+    (x0, x1), (y0, y1) = F.to_int(ax), F.to_int(ay)
+    windows = [
+        None if inf[w] else ((int(x0[w]), int(x1[w])), (int(y0[w]), int(y1[w])))
+        for w in range(digits.shape[0])
+    ]
+    return _host_horner(windows, c, fq2=True)

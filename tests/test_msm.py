@@ -1,0 +1,72 @@
+"""Pippenger MSM vs host double-and-add reference (G1 and G2)."""
+
+import numpy as np
+import pytest
+
+from eigen_zeth_tpu.ops import bn254, msm
+from eigen_zeth_tpu.ops.bn254 import G1_GEN, G2_GEN_X, G2_GEN_Y, HOST_FQ2, h_ec_add, h_ec_mul
+
+RNG = np.random.default_rng(0x35B)
+
+
+def host_msm(points, scalars, F=None):
+    acc = None
+    for p, s in zip(points, scalars):
+        term = h_ec_mul(int(s), p, F) if F else h_ec_mul(int(s), p)
+        acc = h_ec_add(acc, term, F) if F else h_ec_add(acc, term)
+    return acc
+
+
+def rand_scalars(n, bits=254):
+    return [int.from_bytes(RNG.bytes(40), "big") % bn254.R for _ in range(n)]
+
+
+def test_scalar_digits_reconstruct():
+    s = rand_scalars(8)
+    d = msm.scalar_digits(s, c=8)
+    for i, v in enumerate(s):
+        got = sum(int(d[w, i]) << (8 * w) for w in range(d.shape[0]))
+        assert got == v
+
+
+def test_msm_g1_small():
+    n = 32
+    base_ks = [int(k) for k in RNG.integers(1, 1 << 30, size=n)]
+    points = [h_ec_mul(k, G1_GEN) for k in base_ks]
+    scalars = rand_scalars(n)
+    got = msm.msm_g1(points, scalars, use_jit=False, c=4)
+    expect = h_ec_mul(
+        sum(k * s for k, s in zip(base_ks, scalars)) % bn254.R, G1_GEN
+    )
+    assert got == expect
+
+
+def test_msm_g1_edge_cases():
+    g = G1_GEN
+    p2 = h_ec_mul(2, g)
+    # duplicate points, zero scalars, an infinity input
+    points = [g, g, p2, None, g]
+    scalars = [5, 5, 0, 123, bn254.R - 1]
+    got = msm.msm_g1(points, scalars, use_jit=False, c=4)
+    expect = h_ec_mul((5 + 5 + (bn254.R - 1)) % bn254.R, g)
+    assert got == expect
+
+
+def test_msm_g1_zero_result():
+    points = [G1_GEN, G1_GEN]
+    scalars = [1, bn254.R - 1]
+    assert msm.msm_g1(points, scalars, use_jit=False, c=4) is None
+
+
+@pytest.mark.slow
+def test_msm_g2_small():
+    g2 = (G2_GEN_X, G2_GEN_Y)
+    n = 8
+    base_ks = [int(k) for k in RNG.integers(1, 1 << 20, size=n)]
+    points = [h_ec_mul(k, g2, HOST_FQ2) for k in base_ks]
+    scalars = rand_scalars(n)
+    got = msm.msm_g2(points, scalars, use_jit=False, c=4)
+    expect = h_ec_mul(
+        sum(k * s for k, s in zip(base_ks, scalars)) % bn254.R, g2, HOST_FQ2
+    )
+    assert got == expect

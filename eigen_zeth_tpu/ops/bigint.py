@@ -223,9 +223,12 @@ class MontCtx:
         hi = (prod >> 16).astype(jnp.float32)
         mlo = self._mlo_half if half else self._mlo
         mhi = self._mhi_half if half else self._mhi
+        # HIGHEST precision: the 0/1 matrix side is bf16-exact, so the TPU
+        # 3-pass f32 emulation is exact for our < 2^21 integer sums
+        # (default single-pass bf16 is NOT and corrupts limbs).
         s = (
-            jnp.tensordot(mlo, lo, axes=([1], [0]))
-            + jnp.tensordot(mhi, hi, axes=([1], [0]))
+            jnp.tensordot(mlo, lo, axes=([1], [0]), precision=jax.lax.Precision.HIGHEST)
+            + jnp.tensordot(mhi, hi, axes=([1], [0]), precision=jax.lax.Precision.HIGHEST)
         ).astype(jnp.uint32)
         s = s.reshape((s.shape[0],) + (shape if shape else ()))
         # single carry sweep: bin sums < 2^21, carries < 2^6

@@ -74,7 +74,42 @@ def _point_select(F, pred, a: PointJ, b: PointJ) -> PointJ:
     )
 
 
-def _hs_scan(F, pts: PointJ, flags=None, reverse: bool = False, eager: bool = False) -> PointJ:
+class ECGroup:
+    """The EC group op as seen by the MSM machinery (elements: PointJ)."""
+
+    def __init__(self, F):
+        self.F = F
+
+    def add(self, a, b):
+        return point_add(self.F, a, b)
+
+    def double(self, a):
+        return point_double(self.F, a)
+
+    def select(self, pred, a, b):
+        return _point_select(self.F, pred, a, b)
+
+
+class IntGroup:
+    """Mock abelian group (uint32 with wraparound add; identity 0).
+
+    Lets structural / multi-chip tests exercise the full sort + scan +
+    scatter + reduce pipeline with trivial compile cost; Σ s_i·p_i is then
+    checkable with plain numpy."""
+
+    def add(self, a, b):
+        return jax.tree_util.tree_map(lambda x, y: x + y, a, b)
+
+    def double(self, a):
+        return self.add(a, a)
+
+    def select(self, pred, a, b):
+        return jax.tree_util.tree_map(
+            lambda x, y: jnp.where(pred, x, y), a, b
+        )
+
+
+def _hs_scan(G, pts, flags=None, reverse: bool = False, eager: bool = False):
     """Inclusive (optionally segmented) Hillis-Steele scan with the EC op
     along the last axis.  flags marks segment starts; None = one segment.
 
@@ -88,7 +123,11 @@ def _hs_scan(F, pts: PointJ, flags=None, reverse: bool = False, eager: bool = Fa
     idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     have_flags = flags is not None
     if not have_flags:
-        flags = jnp.zeros((1, n), dtype=bool)
+        flags = jnp.zeros((1,) * (nd - 1) + (n,), dtype=bool)
+    else:
+        # left-pad the flag rank to the leaf rank so selects broadcast
+        # without growing leaf shapes
+        flags = flags.reshape((1,) * (nd - flags.ndim) + flags.shape)
 
     def body(d, carry):
         v, f = carry
@@ -96,10 +135,10 @@ def _hs_scan(F, pts: PointJ, flags=None, reverse: bool = False, eager: bool = Fa
         sh_v = _tmap(lambda l: jnp.roll(l, s, axis=-1), v)
         sh_f = jnp.roll(f, s, axis=-1)
         valid = idx >= s  # (n,) broadcasts against trailing axis
-        combined = point_add(F, sh_v, v)
+        combined = G.add(sh_v, v)
         blocked = f if have_flags else jnp.zeros_like(f)
         take_comb = valid & ~blocked
-        new_v = _point_select(F, take_comb, combined, v)
+        new_v = G.select(take_comb, combined, v)
         new_f = f | (valid & sh_f)
         return new_v, new_f
 
@@ -109,20 +148,20 @@ def _hs_scan(F, pts: PointJ, flags=None, reverse: bool = False, eager: bool = Fa
     return out
 
 
-def _scan_total(F, pts: PointJ, eager: bool = False) -> PointJ:
+def _scan_total(G, pts, eager: bool = False):
     """Σ over the last axis = last element of an inclusive plain scan."""
-    scanned = _hs_scan(F, pts, eager=eager)
+    scanned = _hs_scan(G, pts, eager=eager)
     return _tmap(lambda l: l[..., -1], scanned)
 
 
 def msm_window_sums(
-    F,
-    points: PointJ,
+    G,
+    points,
     digits: jnp.ndarray,
     c: int = DEFAULT_C,
     window_group: int = 32,
     eager: bool = False,
-) -> PointJ:
+):
     """Per-window bucket-aggregated sums S_w = Σ_b b·B_b; leaves (..., W)."""
     n_windows, n = digits.shape
     nbuckets = 1 << c
@@ -138,7 +177,7 @@ def msm_window_sums(
         # segment starts: first element or digit change
         first = jnp.ones((g, 1), dtype=bool)
         flags = jnp.concatenate([first, d_sorted[:, 1:] != d_sorted[:, :-1]], axis=-1)
-        scanned = _hs_scan(F, pts, flags=flags[None], eager=eager)
+        scanned = _hs_scan(G, pts, flags=flags, eager=eager)
 
         # segment ends: last element or next flag set
         last = jnp.ones((g, 1), dtype=bool)
@@ -156,10 +195,24 @@ def msm_window_sums(
         # drop dummy slot + bucket 0 (zero digit contributes nothing)
         buckets = _tmap(lambda l: l[..., 1:nbuckets], buckets)
         # S_w = Σ_{b>=1} b·B_b = Σ suffix-sums
-        suffix = _hs_scan(F, buckets, reverse=True, eager=eager)
-        window_sums.append(_scan_total(F, suffix, eager=eager))  # leaves (..., g)
+        suffix = _hs_scan(G, buckets, reverse=True, eager=eager)
+        window_sums.append(_scan_total(G, suffix, eager=eager))  # leaves (..., g)
 
     return _tmap(lambda *ls: jnp.concatenate(ls, axis=-1), *window_sums)  # (..., W)
+
+
+def horner_windows(G, S, n_windows: int, c: int, eager: bool = False):
+    """Combine per-window sums: Σ_w 2^(cw)·S_w (Horner from the top)."""
+
+    def take_w(w):
+        return _tmap(lambda l: jnp.take(l, w, axis=-1), S)
+
+    def body(i, acc):
+        acc = _fori(0, c, lambda _, a: G.double(a), acc, eager)
+        return G.add(acc, take_w(n_windows - 2 - i))
+
+    acc0 = take_w(n_windows - 1)
+    return _fori(0, n_windows - 1, body, acc0, eager)
 
 
 def msm(
@@ -175,19 +228,9 @@ def msm(
     points: PointJ with leaf shape (..., N) (Jacobian; z=0 marks infinity)
     digits: (W, N) uint32
     returns a single PointJ (batch shape ())."""
-    n_windows = digits.shape[0]
-    S = msm_window_sums(F, points, digits, c, window_group, eager)
-
-    # Horner combine over windows: acc = 2^c · acc + S_w, from the top
-    def take_w(w):
-        return _tmap(lambda l: jnp.take(l, w, axis=-1), S)
-
-    def body(i, acc):
-        acc = _fori(0, c, lambda _, a: point_double(F, a), acc, eager)
-        return point_add(F, acc, take_w(n_windows - 2 - i))
-
-    acc0 = take_w(n_windows - 1)
-    return _fori(0, n_windows - 1, body, acc0, eager)
+    G = ECGroup(F)
+    S = msm_window_sums(G, points, digits, c, window_group, eager)
+    return horner_windows(G, S, digits.shape[0], c, eager)
 
 
 def _host_horner(windows, c: int, fq2: bool = False):
@@ -253,7 +296,7 @@ def msm_g1(points_int, scalars, c: int = DEFAULT_C, use_jit: bool = True):
             return None
         return (int(F.to_int(ax)[()]), int(F.to_int(ay)[()]))
     # eager (CPU test) path: device window sums, host Horner combine
-    S = msm_window_sums(F, pts, digits, c=c, eager=True)
+    S = msm_window_sums(ECGroup(F), pts, digits, c=c, eager=True)
     ax, ay = to_affine(F, S)
     inf = np.asarray(F.is_zero(S.z))
     xs, ys = F.to_int(ax), F.to_int(ay)
@@ -275,7 +318,7 @@ def msm_g2(points_int, scalars, c: int = DEFAULT_C, use_jit: bool = True):
             return None
         (x0, x1), (y0, y1) = F.to_int(ax), F.to_int(ay)
         return ((int(x0[()]), int(x1[()])), (int(y0[()]), int(y1[()])))
-    S = msm_window_sums(F, pts, digits, c=c, eager=True)
+    S = msm_window_sums(ECGroup(F), pts, digits, c=c, eager=True)
     ax, ay = to_affine(F, S)
     inf = np.asarray(F.is_zero(S.z))
     (x0, x1), (y0, y1) = F.to_int(ax), F.to_int(ay)

@@ -17,6 +17,8 @@ import os
 import subprocess
 import sys
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 _SENTINEL = "EZT_PYTEST_CPU_REEXEC"
 
 if os.environ.get(_SENTINEL) != "1":
@@ -28,6 +30,10 @@ if os.environ.get(_SENTINEL) != "1":
     ).strip()
     # Drop the sitecustomize that force-registers the axon TPU plugin.
     env["PYTHONPATH"] = ""
+    # Persistent compilation cache: EC/shard_map graphs are expensive for
+    # XLA CPU; repeated suite runs hit the cache instead.
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     # subprocess (not execve): the sandbox wrapper loses exec'd-process output.
     rc = subprocess.call(
         [sys.executable, "-m", "pytest"] + sys.argv[1:], env=env

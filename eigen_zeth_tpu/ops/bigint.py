@@ -63,9 +63,11 @@ class MontCtx:
         self.R2_mod = (self.R * self.R) % modulus
         # full-width N' = -q^{-1} mod R (REDC uses m = T_lo * N' mod R)
         self.nprime = (-pow(modulus, -1, self.R)) % self.R
+        # numpy constants: MontCtx is lru-cached and may first be built
+        # inside a jit trace; jnp arrays cached there would leak tracers
         self.q_limbs_np = limbs_from_int(modulus, n_limbs)
-        self.q_limbs = jnp.asarray(self.q_limbs_np)
-        self.nprime_limbs = jnp.asarray(limbs_from_int(self.nprime, n_limbs))
+        self.q_limbs = self.q_limbs_np
+        self.nprime_limbs = limbs_from_int(self.nprime, n_limbs)
         # Antidiagonal-binning one-hot matrices for the matmul bigmul:
         # row k sums limb products with i+j == k (lo parts) / i+j+1 == k (hi).
         L = n_limbs
@@ -75,10 +77,10 @@ class MontCtx:
             for j in range(L):
                 mlo[i + j, i * L + j] = 1.0
                 mhi[i + j + 1, i * L + j] = 1.0
-        self._mlo = jnp.asarray(mlo)
-        self._mhi = jnp.asarray(mhi)
-        self._mlo_half = jnp.asarray(mlo[:L])
-        self._mhi_half = jnp.asarray(mhi[:L])
+        self._mlo = mlo
+        self._mhi = mhi
+        self._mlo_half = mlo[:L]
+        self._mhi_half = mhi[:L]
 
     # -- host <-> device ----------------------------------------------------
 

@@ -64,14 +64,22 @@ class GF(NamedTuple):
 # host <-> device conversion
 
 
-def from_int(values, shape=None) -> GF:
-    """Build a GF array from python ints / numpy uint64 (host-side)."""
+def from_int_np(values, shape=None) -> GF:
+    """GF with NUMPY planes — safe to cache across jit traces (numpy
+    leaves become fresh constants in every trace; jnp arrays created
+    inside a trace must never be cached)."""
     arr = np.asarray(values, dtype=np.uint64) % np.uint64(P)
     if shape is not None:
         arr = arr.reshape(shape)
     lo = (arr & np.uint64(0xFFFFFFFF)).astype(np.uint32)
     hi = (arr >> np.uint64(32)).astype(np.uint32)
-    return GF(jnp.asarray(lo), jnp.asarray(hi))
+    return GF(lo, hi)
+
+
+def from_int(values, shape=None) -> GF:
+    """Build a GF array from python ints / numpy uint64 (host-side)."""
+    g = from_int_np(values, shape)
+    return GF(jnp.asarray(g.lo), jnp.asarray(g.hi))
 
 
 def to_int(x: GF) -> np.ndarray:

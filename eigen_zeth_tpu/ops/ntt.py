@@ -42,7 +42,7 @@ class NTTPlan(NamedTuple):
     None for the forward one."""
 
     n: int
-    bitrev: jnp.ndarray  # int32[n] bit-reversal permutation
+    bitrev: np.ndarray  # int32[n] bit-reversal permutation (numpy: trace-safe)
     tw: Tuple[GF, ...]  # per-stage twiddles, stage s: shape (2^s,)
     scale: GF | None  # 1/n (inverse only)
 
@@ -71,9 +71,10 @@ def make_plan(n: int, inverse: bool = False) -> NTTPlan:
         powers = [1] * half
         for j in range(1, half):
             powers[j] = gl.h_mul(powers[j - 1], wm)
-        tw.append(gl.from_int(np.array(powers, dtype=np.uint64)))
-    scale = gl.from_int(np.uint64(gl.h_inv(n))) if inverse else None
-    return NTTPlan(n=n, bitrev=jnp.asarray(_bit_reverse_indices(n)), tw=tuple(tw), scale=scale)
+        tw.append(gl.from_int_np(np.array(powers, dtype=np.uint64)))
+    # numpy leaves: plans are lru-cached and must stay trace-safe
+    scale = gl.from_int_np(np.uint64(gl.h_inv(n))) if inverse else None
+    return NTTPlan(n=n, bitrev=_bit_reverse_indices(n), tw=tuple(tw), scale=scale)
 
 
 def _butterfly_stages(x: GF, tw: Tuple[GF, ...], n: int) -> GF:
@@ -148,14 +149,14 @@ def make_four_step_plan(n: int, rows: int, inverse: bool = False) -> FourStepPla
     for r in range(rows):
         tw[r, :] = np.array(row_val, dtype=np.uint64)
         row_val = [gl.h_mul(v, wj) for v, wj in zip(row_val, wr)]
-    scale = gl.from_int(np.uint64(gl.h_inv(n))) if inverse else None
+    scale = gl.from_int_np(np.uint64(gl.h_inv(n))) if inverse else None
     return FourStepPlan(
         n=n,
         rows=rows,
         cols=cols,
         row_plan=make_plan(rows, inverse),
         col_plan=make_plan(cols, inverse),
-        twiddle=gl.from_int(tw),
+        twiddle=gl.from_int_np(tw),
         scale=scale,
     )
 
@@ -225,7 +226,7 @@ def coset_shift(x: GF, shift: int, inverse: bool = False) -> GF:
     for j in range(n):
         powers[j] = v
         v = gl.h_mul(v, s)
-    p = gl.from_int(powers)
+    p = gl.from_int_np(powers)
     return gl.mul(x, _bcast(p, x))
 
 

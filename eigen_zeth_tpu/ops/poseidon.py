@@ -132,8 +132,10 @@ def _sum_last_axis(x: GF) -> GF:
 
 @functools.lru_cache(maxsize=1)
 def _device_constants():
-    rc = gl.from_int(np.array(round_constants(), dtype=np.uint64))  # (30, 12)
-    mds = gl.from_int(np.array(mds_matrix(), dtype=np.uint64))  # (12, 12)
+    # numpy planes: cached jnp arrays created inside a jit trace would
+    # leak tracers into later traces
+    rc = gl.from_int_np(np.array(round_constants(), dtype=np.uint64))  # (30, 12)
+    mds = gl.from_int_np(np.array(mds_matrix(), dtype=np.uint64))  # (12, 12)
     return rc, mds
 
 

@@ -1,0 +1,239 @@
+"""FRI low-degree commitment — commit / open / verify.
+
+The polynomial-commitment layer of the chunk prover (BASELINE config 4:
+FRI commit/open on a 2^22 constraint polynomial; the reference performs
+this inside its external prover service, SURVEY.md §2.9-bis).
+
+Protocol (arity-2 fold, coset domains):
+  prover      D_0 = s·H_0 (|H_0| = blowup·deg-bound), f_0 committed via a
+              Poseidon Merkle tree whose leaf j holds the sibling pair
+              (f(x_j), f(-x_j)) — one opening authenticates both points.
+  each layer  β ← transcript;  f_{i+1}(x²) = (f+f⁻)/2 + β·(f-f⁻)/(2x)
+              (evaluations fold pairwise: one vectorized device op)
+  terminal    remaining evaluations are interpolated (INTT) and the raw
+              coefficients are absorbed — the verifier checks the degree
+              bound directly on them.
+  queries     indices ← transcript; per query, Merkle-opened sibling
+              pairs at every layer; the verifier re-folds and compares,
+              terminating against the final polynomial.
+
+Prover compute (folds, Merkle levels) is bulk device work; the verifier
+is pure host bigint math (it must run without a TPU).
+
+Soundness: each query contributes ~log2(blowup) bits
+(conjectured-regime), so num_queries=30 at blowup=4 targets ~60 bits —
+round-1 parameterization, recorded in FriParams.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import goldilocks as gl
+from ..ops import ntt as nttm
+from ..ops.goldilocks import GF
+from . import merkle
+from .transcript import Transcript
+
+INV2 = (gl.P + 1) // 2  # 1/2 mod p
+
+
+@dataclass
+class FriParams:
+    blowup: int = 4
+    num_queries: int = 30
+    terminal_size: int = 64  # stop folding at this many evaluations
+
+    @property
+    def max_degree_ratio(self) -> int:
+        return self.blowup
+
+
+def _powers_host(base: int, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint64)
+    v = 1
+    for i in range(n):
+        out[i] = v
+        v = gl.h_mul(v, base)
+    return out
+
+
+def fold_layer(evals: GF, beta: int, shift: int) -> GF:
+    """One FRI fold on device: (m,) evaluations on s·H -> (m/2,) on s²·H²."""
+    m = evals.lo.shape[-1]
+    half = m // 2
+    u = GF(evals.lo[..., :half], evals.hi[..., :half])
+    v = GF(evals.lo[..., half:], evals.hi[..., half:])
+    w_inv = gl.h_inv(gl.primitive_root_of_unity(m))
+    x_inv = gl.from_int(_powers_host(w_inv, half))
+    s_inv = gl.h_inv(shift)
+    x_inv = gl.mul(x_inv, gl.full(x_inv.lo.shape, s_inv))
+    inv2 = gl.full(u.lo.shape, INV2)
+    beta_arr = gl.full(u.lo.shape, beta)
+    even = gl.mul(gl.add(u, v), inv2)
+    odd = gl.mul(gl.mul(gl.mul(gl.sub(u, v), inv2), x_inv), beta_arr)
+    return gl.add(even, odd)
+
+
+@dataclass
+class FriLayerWitness:
+    tree: merkle.MerkleTree
+    u: GF
+    v: GF
+
+
+@dataclass
+class FriProverOutput:
+    proof: dict
+    layer0_indices: List[int]  # query pair-indices into the original domain
+
+
+def fri_prove(
+    evals: GF, shift: int, transcript: Transcript, params: FriParams
+) -> FriProverOutput:
+    """Commit + open. evals: (m,) coset evaluations (natural order)."""
+    m = evals.lo.shape[-1]
+    assert m & (m - 1) == 0
+    layers: List[FriLayerWitness] = []
+    roots = []
+    betas = []
+    cur = evals
+    cur_shift = shift
+    while cur.lo.shape[-1] > params.terminal_size:
+        size = cur.lo.shape[-1]
+        half = size // 2
+        u = GF(cur.lo[:half], cur.hi[:half])
+        v = GF(cur.lo[half:], cur.hi[half:])
+        leaves = GF(
+            jnp.stack([u.lo, v.lo], axis=1), jnp.stack([u.hi, v.hi], axis=1)
+        )
+        tree = merkle.commit_leaves(leaves)
+        root = tree.root()
+        transcript.absorb("fri-root", root)
+        beta = transcript.challenge("fri-beta")
+        layers.append(FriLayerWitness(tree=tree, u=u, v=v))
+        roots.append(root)
+        betas.append(beta)
+        cur = fold_layer(cur, beta, cur_shift)
+        cur_shift = gl.h_mul(cur_shift, cur_shift)
+
+    # terminal layer: interpolate and send coefficients
+    final_evals = gl.to_int(cur)
+    tsize = len(final_evals)
+    coeffs_shifted = gl.to_int(nttm.intt(gl.from_int(final_evals)))
+    s_inv_pows = _powers_host(gl.h_inv(cur_shift), tsize)
+    final_coeffs = [
+        gl.h_mul(int(c), int(si)) for c, si in zip(coeffs_shifted, s_inv_pows)
+    ]
+    # degree bound: only m/blowup of the terminal coefficients may be nonzero
+    keep = tsize // params.blowup
+    assert all(c == 0 for c in final_coeffs[keep:]), "terminal degree too high"
+    final_coeffs = final_coeffs[:keep]
+    transcript.absorb("fri-final", final_coeffs)
+
+    # queries
+    indices = transcript.challenge_indices("fri-query", params.num_queries, m // 2)
+    queries = []
+    for idx in indices:
+        j = idx
+        layer_openings = []
+        for wit in layers:
+            half = wit.u.lo.shape[-1]
+            jj = j % half
+            layer_openings.append(
+                {
+                    "u": str(int(gl.to_int(GF(wit.u.lo[jj], wit.u.hi[jj])))),
+                    "v": str(int(gl.to_int(GF(wit.v.lo[jj], wit.v.hi[jj])))),
+                    "path": [[str(x) for x in d] for d in wit.tree.open(jj)],
+                }
+            )
+            j = jj
+        queries.append({"index": idx, "layers": layer_openings})
+
+    proof = {
+        "domain_size": m,
+        "shift": str(shift),
+        "roots": [[str(x) for x in r] for r in roots],
+        "final_coeffs": [str(c) for c in final_coeffs],
+        "queries": queries,
+    }
+    return FriProverOutput(proof=proof, layer0_indices=indices)
+
+
+def fri_verify(
+    proof: dict, transcript: Transcript, params: FriParams
+) -> tuple[bool, list]:
+    """Host-side verification.  Returns (ok, layer0_openings) where
+    layer0_openings = [(pair_index, u, v), ...] for the caller to
+    cross-check against externally computed evaluations."""
+    m = int(proof["domain_size"])
+    shift = int(proof["shift"])
+    roots = [[int(x) for x in r] for r in proof["roots"]]
+    final_coeffs = [int(c) for c in proof["final_coeffs"]]
+
+    # replay transcript
+    betas = []
+    sizes = []
+    shifts = []
+    size, cur_shift = m, shift
+    for r in roots:
+        if size <= params.terminal_size:
+            return False, []
+        transcript.absorb("fri-root", r)
+        betas.append(transcript.challenge("fri-beta"))
+        sizes.append(size)
+        shifts.append(cur_shift)
+        size //= 2
+        cur_shift = gl.h_mul(cur_shift, cur_shift)
+    if size > params.terminal_size:
+        return False, []
+    if len(final_coeffs) != size // params.blowup:
+        return False, []
+    transcript.absorb("fri-final", final_coeffs)
+    indices = transcript.challenge_indices("fri-query", params.num_queries, m // 2)
+
+    if len(proof["queries"]) != len(indices):
+        return False, []
+    layer0 = []
+    for q, idx in zip(proof["queries"], indices):
+        if int(q["index"]) != idx or len(q["layers"]) != len(roots):
+            return False, []
+        j = idx
+        prev_expected = None  # folded value expected at this layer
+        for li, layer in enumerate(q["layers"]):
+            half = sizes[li] // 2
+            jj = j % half
+            u, v = int(layer["u"]), int(layer["v"])
+            path = [[int(x) for x in d] for d in layer["path"]]
+            if not merkle.verify_path(roots[li], jj, [u, v], path):
+                return False, []
+            if li == 0:
+                layer0.append((jj, u, v))
+            else:
+                # the previous fold must equal this layer's value at j
+                got = u if j < half else v
+                if prev_expected != got:
+                    return False, []
+            # fold locally
+            beta = betas[li]
+            w_inv = gl.h_inv(gl.primitive_root_of_unity(sizes[li]))
+            x_inv = gl.h_mul(gl.h_inv(shifts[li]), gl.h_pow(w_inv, jj))
+            even = (u + v) * INV2 % gl.P
+            odd = (u - v) * INV2 % gl.P * x_inv % gl.P * beta % gl.P
+            prev_expected = (even + odd) % gl.P
+            j = jj
+        # terminate against the final polynomial
+        t_size = sizes[-1] // 2
+        t_shift = gl.h_mul(shifts[-1], shifts[-1])
+        w = gl.primitive_root_of_unity(t_size)
+        x = gl.h_mul(t_shift, gl.h_pow(w, j))
+        val = 0
+        for c in reversed(final_coeffs):
+            val = (val * x + c) % gl.P
+        if val != prev_expected:
+            return False, []
+    return True, layer0

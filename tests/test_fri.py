@@ -1,0 +1,82 @@
+"""FRI prove/verify: honest round trip, tamper rejection, degree soundness."""
+
+import copy
+
+import numpy as np
+
+from eigen_zeth_tpu.models import fri
+from eigen_zeth_tpu.models.transcript import Transcript
+from eigen_zeth_tpu.ops import goldilocks as gl
+from eigen_zeth_tpu.ops import ntt as nttm
+
+RNG = np.random.default_rng(0xF21)
+
+PARAMS = fri.FriParams(blowup=4, num_queries=4, terminal_size=32)
+SHIFT = gl.MULTIPLICATIVE_GENERATOR
+
+
+def _commit_poly(n):
+    """Random degree-<n poly; return its blowup-coset evaluations."""
+    coeffs = RNG.integers(0, gl.P, size=n, dtype=np.uint64)
+    evals = nttm.lde(gl.from_int(coeffs), PARAMS.blowup, SHIFT)
+    return coeffs, evals
+
+
+def test_fri_roundtrip():
+    coeffs, evals = _commit_poly(64)
+    out = fri.fri_prove(evals, SHIFT, Transcript("fri"), PARAMS)
+    ok, layer0 = fri.fri_verify(out.proof, Transcript("fri"), PARAMS)
+    assert ok
+    assert len(layer0) == PARAMS.num_queries
+    # layer-0 openings must be the committed evaluations
+    ev = gl.to_int(evals)
+    m = len(ev)
+    for jj, u, v in layer0:
+        assert u == int(ev[jj])
+        assert v == int(ev[jj + m // 2])
+
+
+def test_fri_rejects_tampered_value():
+    _, evals = _commit_poly(64)
+    out = fri.fri_prove(evals, SHIFT, Transcript("fri"), PARAMS)
+    bad = copy.deepcopy(out.proof)
+    bad["queries"][0]["layers"][0]["u"] = str(
+        (int(bad["queries"][0]["layers"][0]["u"]) + 1) % gl.P
+    )
+    ok, _ = fri.fri_verify(bad, Transcript("fri"), PARAMS)
+    assert not ok
+
+
+def test_fri_rejects_tampered_root():
+    _, evals = _commit_poly(64)
+    out = fri.fri_prove(evals, SHIFT, Transcript("fri"), PARAMS)
+    bad = copy.deepcopy(out.proof)
+    bad["roots"][1][0] = str((int(bad["roots"][1][0]) ^ 1))
+    ok, _ = fri.fri_verify(bad, Transcript("fri"), PARAMS)
+    assert not ok
+
+
+def test_fri_rejects_tampered_final_coeffs():
+    _, evals = _commit_poly(64)
+    out = fri.fri_prove(evals, SHIFT, Transcript("fri"), PARAMS)
+    bad = copy.deepcopy(out.proof)
+    bad["final_coeffs"][0] = str((int(bad["final_coeffs"][0]) + 1) % gl.P)
+    ok, _ = fri.fri_verify(bad, Transcript("fri"), PARAMS)
+    assert not ok
+
+
+def test_fri_rejects_high_degree():
+    """Evaluations of a function of too-high degree must not verify.
+
+    The prover's own terminal assert trips for an honest prover, so build
+    the proof with a lenient blowup and verify against the strict one."""
+    n = 64
+    coeffs = RNG.integers(0, gl.P, size=n * PARAMS.blowup, dtype=np.uint64)
+    # full-degree "polynomial" on the same domain size as _commit_poly(64)
+    evals = nttm.ntt(nttm.coset_shift(gl.from_int(coeffs), SHIFT))
+    lenient = fri.FriParams(
+        blowup=1, num_queries=PARAMS.num_queries, terminal_size=PARAMS.terminal_size
+    )
+    out = fri.fri_prove(evals, SHIFT, Transcript("fri"), lenient)
+    ok, _ = fri.fri_verify(out.proof, Transcript("fri"), PARAMS)
+    assert not ok

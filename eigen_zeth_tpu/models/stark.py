@@ -1,0 +1,232 @@
+"""STARK chunk prover — AIR + ALI + FRI over Goldilocks.
+
+This is the per-chunk proof behind the protocol's GenChunkProof step
+(reference semantics: proto/prover/v1/prover.proto:102-111; the reference
+ships these opaque proof strings from its external prover).  Round-1 AIR:
+a rolling-hash accumulator binding the chunk's data,
+
+    columns  D (data), A (accumulator)
+    boundary A(1) = iv                       (first row)
+    boundary A(w^{n-1}) = out                (last row)
+    step     A(w·x) = γ·A(x) + D(x)          on H \ {last row}
+
+so a verified proof attests that `out` is the γ-rolling hash of the
+committed data stream seeded at `iv` — the chunk-integrity statement the
+pipeline needs.  The machinery (trace LDE commit → constraint composition
+→ FRI → query openings) is the production shape; richer zkEVM AIRs drop
+into the same pipeline by adding columns/constraints.
+
+Quotients:
+    Q1 = (A(wx) - γA(x) - D(x))·(x - w^{n-1}) / (x^n - 1)
+    Q2 = (A(x) - iv) / (x - 1)
+    Q3 = (A(x) - out) / (x - w^{n-1})
+composition C = α1·Q1 + α2·Q2 + α3·Q3, degree < n, FRI-proven on the
+blowup coset.  A(wx) on the LDE domain is a rotation by `blowup`
+positions (w = v^blowup), so the whole composition is pointwise device
+math — no extra NTTs.
+
+Prover: bulk device work.  Verifier: host bigints only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import goldilocks as gl
+from ..ops import ntt as nttm
+from ..ops.goldilocks import GF
+from . import fri, merkle
+from .poseidon_tags import chunk_gamma
+from .transcript import Transcript
+
+
+@dataclass
+class StarkParams:
+    blowup: int = 4
+    num_queries: int = 30
+    terminal_size: int = 64
+    shift: int = gl.MULTIPLICATIVE_GENERATOR
+
+    def fri_params(self) -> fri.FriParams:
+        return fri.FriParams(
+            blowup=self.blowup,
+            num_queries=self.num_queries,
+            terminal_size=self.terminal_size,
+        )
+
+
+def build_trace(data: list[int], iv: int, n: int | None = None):
+    """Pad data into the first n-1 rows and run the accumulator column.
+
+    out = A(w^{n-1}) is a trace cell (so the last-row boundary quotient is
+    a polynomial): the γ-rolling hash of data + zero padding.
+    Returns (d_column, a_column, out) as host ints."""
+    gamma = chunk_gamma()
+    d = [int(x) % gl.P for x in data]
+    if n is None:
+        n = max(4, 1 << len(d).bit_length()) if d else 4
+    assert len(d) <= n - 1, "data must leave the last trace row free"
+    d = d + [0] * (n - len(d))
+    a = [iv % gl.P]
+    for i in range(n - 1):
+        a.append((a[-1] * gamma + d[i]) % gl.P)
+    return d, a, a[-1]
+
+
+def prove_chunk(data: list[int], iv: int, params: StarkParams | None = None) -> dict:
+    """Produce a chunk STARK proof for the rolling hash of `data`."""
+    params = params or StarkParams()
+    d_col, a_col, out = build_trace(data, iv)
+    n = len(d_col)
+    m = n * params.blowup
+    gamma = chunk_gamma()
+
+    # --- trace commit -------------------------------------------------------
+    D = nttm.intt(gl.from_int(np.array(d_col, dtype=np.uint64)))
+    A = nttm.intt(gl.from_int(np.array(a_col, dtype=np.uint64)))
+    D_lde = nttm.lde(D, params.blowup, params.shift)
+    A_lde = nttm.lde(A, params.blowup, params.shift)
+    rows = GF(
+        jnp.stack([A_lde.lo, D_lde.lo], axis=1),
+        jnp.stack([A_lde.hi, D_lde.hi], axis=1),
+    )  # (m, 2): leaf = [A(x), D(x)]
+    tree = merkle.commit_leaves(rows)
+
+    transcript = Transcript("ezt-chunk-stark")
+    transcript.absorb("public", [n, iv, out, gamma])
+    transcript.absorb("trace-root", tree.root())
+    alphas = transcript.challenges("alpha", 3)
+
+    # --- composition on the LDE coset --------------------------------------
+    w_last = gl.h_pow(gl.primitive_root_of_unity(n), n - 1)
+    xs = fri._powers_host(gl.primitive_root_of_unity(m), m)
+    xs = (xs.astype(object) * params.shift) % gl.P
+    xs_np = np.array([int(x) for x in xs], dtype=np.uint64)
+    x_arr = gl.from_int(xs_np)
+    # Z_H(x) = x^n - 1 on the coset: s^n·v^{jn} - 1, period-blowup cycle
+    a_shift = GF(jnp.roll(A_lde.lo, -params.blowup), jnp.roll(A_lde.hi, -params.blowup))
+    c1 = gl.sub(
+        gl.sub(a_shift, gl.mul(A_lde, gl.full((m,), gamma))), D_lde
+    )
+    zh = gl.sub(gl.pow_const(x_arr, n), gl.ones((m,)))
+    q1 = gl.mul(
+        gl.mul(c1, gl.sub(x_arr, gl.full((m,), w_last))), gl.inv(zh)
+    )
+    q2 = gl.mul(
+        gl.sub(A_lde, gl.full((m,), iv)), gl.inv(gl.sub(x_arr, gl.ones((m,))))
+    )
+    q3 = gl.mul(
+        gl.sub(A_lde, gl.full((m,), out)),
+        gl.inv(gl.sub(x_arr, gl.full((m,), w_last))),
+    )
+    comp = gl.add(
+        gl.add(
+            gl.mul(q1, gl.full((m,), alphas[0])), gl.mul(q2, gl.full((m,), alphas[1]))
+        ),
+        gl.mul(q3, gl.full((m,), alphas[2])),
+    )
+
+    # --- FRI on the composition --------------------------------------------
+    fri_out = fri.fri_prove(comp, params.shift, transcript, params.fri_params())
+
+    # --- trace openings at the queried points -------------------------------
+    openings = []
+    for jj in fri_out.layer0_indices:
+        idxs = [jj, (jj + params.blowup) % m, jj + m // 2, (jj + m // 2 + params.blowup) % m]
+        rows_open = []
+        for i in idxs:
+            rows_open.append(
+                {
+                    "index": i,
+                    "row": [str(x) for x in merkle.leaf_row(rows, i)],
+                    "path": [[str(x) for x in p] for p in tree.open(i)],
+                }
+            )
+        openings.append(rows_open)
+
+    return {
+        "version": 1,
+        "n": n,
+        "blowup": params.blowup,
+        "shift": str(params.shift),
+        "public": {"iv": str(iv), "out": str(out), "gamma": str(gamma)},
+        "trace_root": [str(x) for x in tree.root()],
+        "fri": fri_out.proof,
+        "trace_openings": openings,
+    }
+
+
+def verify_chunk(proof: dict, params: StarkParams | None = None) -> bool:
+    """Host-side verification of a chunk proof."""
+    params = params or StarkParams()
+    try:
+        n = int(proof["n"])
+        blowup = int(proof["blowup"])
+        shift = int(proof["shift"])
+        iv = int(proof["public"]["iv"])
+        out = int(proof["public"]["out"])
+        gamma = int(proof["public"]["gamma"])
+        root = [int(x) for x in proof["trace_root"]]
+    except (KeyError, ValueError):
+        return False
+    if blowup != params.blowup or shift != params.shift or gamma != chunk_gamma():
+        return False
+    m = n * blowup
+
+    transcript = Transcript("ezt-chunk-stark")
+    transcript.absorb("public", [n, iv, out, gamma])
+    transcript.absorb("trace-root", root)
+    alphas = transcript.challenges("alpha", 3)
+
+    ok, layer0 = fri.fri_verify(proof["fri"], transcript, params.fri_params())
+    if not ok:
+        return False
+    if int(proof["fri"]["domain_size"]) != m:
+        return False
+
+    w = gl.primitive_root_of_unity(m)
+    w_last = gl.h_pow(gl.primitive_root_of_unity(n), n - 1)
+
+    def composition_at(j: int, a_x: int, a_wx: int, d_x: int) -> int:
+        x = gl.h_mul(shift, gl.h_pow(w, j))
+        zh = (gl.h_pow(x, n) - 1) % gl.P
+        c1 = (a_wx - gamma * a_x - d_x) % gl.P
+        q1 = c1 * (x - w_last) % gl.P * gl.h_inv(zh) % gl.P
+        q2 = (a_x - iv) % gl.P * gl.h_inv((x - 1) % gl.P) % gl.P
+        q3 = (a_x - out) % gl.P * gl.h_inv((x - w_last) % gl.P) % gl.P
+        return (alphas[0] * q1 + alphas[1] * q2 + alphas[2] * q3) % gl.P
+
+    if len(proof["trace_openings"]) != len(layer0):
+        return False
+    for rows_open, (jj, u_val, v_val) in zip(proof["trace_openings"], layer0):
+        if len(rows_open) != 4:
+            return False
+        expect_idx = [jj, (jj + blowup) % m, jj + m // 2, (jj + m // 2 + blowup) % m]
+        vals = {}
+        for entry, want_i in zip(rows_open, expect_idx):
+            i = int(entry["index"])
+            if i != want_i:
+                return False
+            row = [int(x) for x in entry["row"]]
+            if len(row) != 2:
+                return False
+            path = [[int(x) for x in p] for p in entry["path"]]
+            if not merkle.verify_path(root, i, row, path):
+                return False
+            vals[i] = row  # [A(x_i), D(x_i)]
+        # recompute the composition at x_jj and x_{jj+m/2}
+        c_u = composition_at(
+            jj, vals[jj][0], vals[(jj + blowup) % m][0], vals[jj][1]
+        )
+        c_v = composition_at(
+            jj + m // 2,
+            vals[jj + m // 2][0],
+            vals[(jj + m // 2 + blowup) % m][0],
+            vals[jj + m // 2][1],
+        )
+        if c_u != u_val or c_v != v_val:
+            return False
+    return True

@@ -1,0 +1,363 @@
+"""Groth16 over BN254 — setup / prove / verify, emitting the reference's
+exact proof JSON schema.
+
+Parity surface: the final proofs the reference consumes are Groth16/BN128
+JSON with decimal-string coordinates (proof/proof.json; parsed at
+src/settlement/ethereum/mod.rs:445-481) and a single-element public-input
+array (proof/public_input.json, parsed at mod.rs:475-481).  encode_proof /
+decode_proof here reproduce that schema value-exactly.
+
+Division of labor:
+  * setup     — host bigints (circuits in round 1 are small; the CRS is
+                computed once).  Deterministic from an explicit tau seed
+                so tests are reproducible; a production ceremony would
+                replace it.
+  * prove     — the MSMs over G1/G2 run through the TPU Pippenger
+                (ops/msm.py); the tiny QAP/H computation for round-1
+                circuit sizes is O(d²) host math (device Fr NTT is the
+                scale-up path).
+  * verify    — host pairing (ops/pairing.py):
+                e(A,B) = e(α,β)·e(Σpubᵢ·ICᵢ, γ)·e(C,δ)
+
+R1CS: constraints (A_row·w)(B_row·w) = (C_row·w), rows as {var: coeff}
+dicts; variable 0 is the constant 1; variables 1..n_pub are public.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+from typing import Dict, List
+
+from ..ops import bn254, msm, pairing
+from ..ops.bn254 import (
+    G1_GEN,
+    G2_GEN_X,
+    G2_GEN_Y,
+    HOST_FQ2,
+    R,
+    h_ec_add,
+    h_ec_mul,
+)
+
+G2_GEN = (G2_GEN_X, G2_GEN_Y)
+
+
+@dataclass
+class R1CS:
+    num_vars: int  # includes the constant-1 variable 0
+    num_public: int  # public vars are 1..num_public
+    constraints: List[tuple]  # (a_row, b_row, c_row) dicts {var: coeff}
+
+    def eval_row(self, row: Dict[int, int], w: List[int]) -> int:
+        return sum(c * w[v] for v, c in row.items()) % R
+
+    def is_satisfied(self, w: List[int]) -> bool:
+        assert len(w) == self.num_vars and w[0] == 1
+        return all(
+            self.eval_row(a, w) * self.eval_row(b, w) % R == self.eval_row(c, w)
+            for a, b, c in self.constraints
+        )
+
+
+@dataclass
+class ProvingKey:
+    alpha1: tuple
+    beta1: tuple
+    beta2: tuple
+    delta1: tuple
+    delta2: tuple
+    a_query: list  # [A_i(τ)]₁ per variable
+    b1_query: list  # [B_i(τ)]₁
+    b2_query: list  # [B_i(τ)]₂
+    l_query: list  # [(βA_i+αB_i+C_i)(τ)/δ]₁ for private vars
+    h_query: list  # [τ^k·Z(τ)/δ]₁
+    domain: int
+    num_public: int
+
+
+@dataclass
+class VerifyingKey:
+    alpha1: tuple
+    beta2: tuple
+    gamma2: tuple
+    delta2: tuple
+    ic: list  # [(βA_i+αB_i+C_i)(τ)/γ]₁ for public vars (incl. constant)
+
+
+def _tau_from_seed(seed: str, tag: str) -> int:
+    return (
+        int.from_bytes(hashlib.sha256(f"{seed}/{tag}".encode()).digest() * 2, "big") % (R - 1)
+    ) + 1
+
+
+def _domain_size(n: int) -> int:
+    d = 1
+    while d < max(n, 2):
+        d *= 2
+    return d
+
+
+def _lagrange_at(tau: int, d: int) -> list[int]:
+    """L_j(τ) for the size-d roots-of-unity domain: ω_j(τ^d-1)/(d(τ-ω_j))."""
+    # 2-adicity of r-1 covers d (r-1 = 2^28·odd)
+    g = pow(5, (R - 1) // d, R)  # 5 generates Fr*
+    zt = (pow(tau, d, R) - 1) % R
+    out = []
+    wj = 1
+    d_inv = pow(d, R - 2, R)
+    for _ in range(d):
+        denom_inv = pow((tau - wj) % R, R - 2, R)
+        out.append(wj * zt % R * d_inv % R * denom_inv % R)
+        wj = wj * g % R
+    return out
+
+
+def setup(r1cs: R1CS, seed: str = "ezt-groth16-dev") -> tuple[ProvingKey, VerifyingKey]:
+    """Deterministic dev CRS (trusted-setup ceremony stand-in)."""
+    alpha = _tau_from_seed(seed, "alpha")
+    beta = _tau_from_seed(seed, "beta")
+    gamma = _tau_from_seed(seed, "gamma")
+    delta = _tau_from_seed(seed, "delta")
+    tau = _tau_from_seed(seed, "tau")
+
+    d = _domain_size(len(r1cs.constraints))
+    lag = _lagrange_at(tau, d)
+    nv = r1cs.num_vars
+    a_tau = [0] * nv
+    b_tau = [0] * nv
+    c_tau = [0] * nv
+    for j, (arow, brow, crow) in enumerate(r1cs.constraints):
+        for v, coeff in arow.items():
+            a_tau[v] = (a_tau[v] + coeff * lag[j]) % R
+        for v, coeff in brow.items():
+            b_tau[v] = (b_tau[v] + coeff * lag[j]) % R
+        for v, coeff in crow.items():
+            c_tau[v] = (c_tau[v] + coeff * lag[j]) % R
+
+    gamma_inv = pow(gamma, R - 2, R)
+    delta_inv = pow(delta, R - 2, R)
+    zt = (pow(tau, d, R) - 1) % R
+
+    def g1(k):
+        return h_ec_mul(k % R, G1_GEN) if k % R else None
+
+    def g2(k):
+        return h_ec_mul(k % R, G2_GEN, HOST_FQ2) if k % R else None
+
+    pk = ProvingKey(
+        alpha1=g1(alpha),
+        beta1=g1(beta),
+        beta2=g2(beta),
+        delta1=g1(delta),
+        delta2=g2(delta),
+        a_query=[g1(a_tau[i]) for i in range(nv)],
+        b1_query=[g1(b_tau[i]) for i in range(nv)],
+        b2_query=[g2(b_tau[i]) for i in range(nv)],
+        l_query=[
+            g1((beta * a_tau[i] + alpha * b_tau[i] + c_tau[i]) * delta_inv)
+            for i in range(r1cs.num_public + 1, nv)
+        ],
+        h_query=[g1(pow(tau, k, R) * zt % R * delta_inv) for k in range(d - 1)],
+        domain=d,
+        num_public=r1cs.num_public,
+    )
+    vk = VerifyingKey(
+        alpha1=g1(alpha),
+        beta2=g2(beta),
+        gamma2=g2(gamma),
+        delta2=g2(delta),
+        ic=[
+            g1((beta * a_tau[i] + alpha * b_tau[i] + c_tau[i]) * gamma_inv)
+            for i in range(r1cs.num_public + 1)
+        ],
+    )
+    return pk, vk
+
+
+def _h_coeffs(r1cs: R1CS, w: List[int], d: int) -> list[int]:
+    """Coefficients of h(x) = (a·b - c)/Z over the size-d domain.
+
+    O(d²) host math — fine for the round-1 wrap circuits (d ≤ 16); the
+    at-scale path is a device Fr NTT."""
+    g = pow(5, (R - 1) // d, R)
+    a_vals = [0] * d
+    b_vals = [0] * d
+    c_vals = [0] * d
+    for j, (arow, brow, crow) in enumerate(r1cs.constraints):
+        a_vals[j] = r1cs.eval_row(arow, w)
+        b_vals[j] = r1cs.eval_row(brow, w)
+        c_vals[j] = r1cs.eval_row(crow, w)
+
+    def interp(vals):
+        # coefficients via inverse DFT: c_k = (1/d) Σ_j vals_j ω^{-jk}
+        d_inv = pow(d, R - 2, R)
+        g_inv = pow(g, R - 2, R)
+        return [
+            d_inv * sum(vals[j] * pow(g_inv, j * k, R) for j in range(d)) % R
+            for k in range(d)
+        ]
+
+    ac, bc, cc = interp(a_vals), interp(b_vals), interp(c_vals)
+
+    def eval_poly(coeffs, x):
+        v = 0
+        for c in reversed(coeffs):
+            v = (v * x + c) % R
+        return v
+
+    # evaluate on a coset (shift s) and divide by Z(sx) = s^d·x^d - 1
+    s = 7
+    zs = (pow(s, d, R) - 1) % R  # Z on coset: (s·ω^j)^d - 1 = s^d - 1
+    zs_inv = pow(zs, R - 2, R)
+    h_vals = []
+    wj = 1
+    for j in range(d):
+        x = s * wj % R
+        pv = (eval_poly(ac, x) * eval_poly(bc, x) - eval_poly(cc, x)) % R
+        h_vals.append(pv * zs_inv % R)
+        wj = wj * g % R
+    # interpolate h on the coset: coeffs of h(sx) then unscale by s^{-k}
+    hc_shift = interp(h_vals)
+    s_inv = pow(s, R - 2, R)
+    return [hc_shift[k] * pow(s_inv, k, R) % R for k in range(d)]
+
+
+def prove(
+    pk: ProvingKey,
+    r1cs: R1CS,
+    witness: List[int],
+    rng_seed: str = "ezt-groth16-r",
+    use_jit: bool = True,
+) -> dict:
+    """Groth16 prove; the G1/G2 MSMs run on the TPU Pippenger."""
+    assert r1cs.is_satisfied(witness)
+    r_rand = _tau_from_seed(rng_seed, "r")
+    s_rand = _tau_from_seed(rng_seed, "s")
+
+    # Pippenger pays off for large queries; the round-1 wrap circuits have
+    # a handful of terms, where host double-and-add wins outright.
+    MSM_DEVICE_THRESHOLD = 64
+
+    def _host_msm(points, scalars, F=None):
+        acc = None
+        for p, s in points_scalars(points, scalars):
+            term = h_ec_mul(s, p, F) if F else h_ec_mul(s, p)
+            acc = h_ec_add(acc, term, F) if F else h_ec_add(acc, term)
+        return acc
+
+    def points_scalars(points, scalars):
+        return [
+            (p, s % R) for p, s in zip(points, scalars) if p is not None and s % R
+        ]
+
+    def msm1(points, scalars):
+        pairs = points_scalars(points, scalars)
+        if not pairs:
+            return None
+        if len(pairs) < MSM_DEVICE_THRESHOLD:
+            return _host_msm([p for p, _ in pairs], [s for _, s in pairs])
+        return msm.msm_g1([p for p, _ in pairs], [s for _, s in pairs], use_jit=use_jit)
+
+    def msm2(points, scalars):
+        pairs = points_scalars(points, scalars)
+        if not pairs:
+            return None
+        if len(pairs) < MSM_DEVICE_THRESHOLD:
+            return _host_msm(
+                [p for p, _ in pairs], [s for _, s in pairs], HOST_FQ2
+            )
+        return msm.msm_g2([p for p, _ in pairs], [s for _, s in pairs], use_jit=use_jit)
+
+    # A = α + Σ wᵢ·Aᵢ(τ) + r·δ
+    pi_a = h_ec_add(pk.alpha1, msm1(pk.a_query, witness))
+    pi_a = h_ec_add(pi_a, h_ec_mul(r_rand, pk.delta1))
+    # B = β + Σ wᵢ·Bᵢ(τ) + s·δ  (G2, plus a G1 copy)
+    pi_b = h_ec_add(pk.beta2, msm2(pk.b2_query, witness), HOST_FQ2)
+    pi_b = h_ec_add(pi_b, h_ec_mul(s_rand, pk.delta2, HOST_FQ2), HOST_FQ2)
+    pi_b1 = h_ec_add(pk.beta1, msm1(pk.b1_query, witness))
+    pi_b1 = h_ec_add(pi_b1, h_ec_mul(s_rand, pk.delta1))
+    # C = Σ_priv wᵢ·Lᵢ + Σ h_k·[τ^k Z/δ] + s·A + r·B₁ - r·s·δ
+    priv = witness[pk.num_public + 1 :]
+    h = _h_coeffs(r1cs, witness, pk.domain)
+    pi_c = msm1(pk.l_query, priv)
+    pi_c = h_ec_add(pi_c, msm1(pk.h_query, h[: len(pk.h_query)]))
+    pi_c = h_ec_add(pi_c, h_ec_mul(s_rand, pi_a))
+    pi_c = h_ec_add(pi_c, h_ec_mul(r_rand, pi_b1))
+    pi_c = h_ec_add(pi_c, h_ec_mul(R - (r_rand * s_rand) % R, pk.delta1))
+
+    return encode_proof(pi_a, pi_b, pi_c)
+
+
+def verify(vk: VerifyingKey, proof: dict, public_inputs: List[int]) -> bool:
+    try:
+        pi_a, pi_b, pi_c = decode_proof(proof)
+    except (KeyError, ValueError):
+        return False
+    if proof.get("protocol") != "groth16" or proof.get("curve") != "BN128":
+        return False
+    assert len(public_inputs) == len(vk.ic) - 1
+    acc = vk.ic[0]
+    for x, p in zip(public_inputs, vk.ic[1:]):
+        acc = h_ec_add(acc, h_ec_mul(x % R, p))
+    lhs = pairing.pairing(pi_a, pi_b)
+    rhs = pairing.f12_mul(
+        pairing.pairing(vk.alpha1, vk.beta2),
+        pairing.f12_mul(
+            pairing.pairing(acc, vk.gamma2), pairing.pairing(pi_c, vk.delta2)
+        ),
+    )
+    return lhs == rhs
+
+
+# ---------------------------------------------------------------------------
+# reference-schema proof JSON (parity with proof/proof.json)
+
+
+def encode_proof(pi_a, pi_b, pi_c) -> dict:
+    """Affine points -> the reference's exact JSON schema (decimal strings,
+    pi_b coordinates as [c0, c1] arrays)."""
+    return {
+        "pi_a": {"x": str(pi_a[0]), "y": str(pi_a[1])},
+        "pi_b": {
+            "x": [str(pi_b[0][0]), str(pi_b[0][1])],
+            "y": [str(pi_b[1][0]), str(pi_b[1][1])],
+        },
+        "pi_c": {"x": str(pi_c[0]), "y": str(pi_c[1])},
+        "protocol": "groth16",
+        "curve": "BN128",
+    }
+
+
+def decode_proof(proof: dict):
+    pi_a = (int(proof["pi_a"]["x"]), int(proof["pi_a"]["y"]))
+    pi_b = (
+        (int(proof["pi_b"]["x"][0]), int(proof["pi_b"]["x"][1])),
+        (int(proof["pi_b"]["y"][0]), int(proof["pi_b"]["y"][1])),
+    )
+    pi_c = (int(proof["pi_c"]["x"]), int(proof["pi_c"]["y"]))
+    return pi_a, pi_b, pi_c
+
+
+# ---------------------------------------------------------------------------
+# the final-wrap circuit: bind the aggregated digest to the public input
+
+
+def wrap_circuit() -> R1CS:
+    """Public x₁; private h₀..h₃ (aggregated Poseidon digest limbs) and
+    t = h₀·h₁.  Constraints:
+      1:  (h₀)·(h₁) = t                       [quadratic binding]
+      2:  (x₁ - h₀ - 2^64·h₁ - 2^128·h₂ - 2^192·h₃)·(1) = 0
+    so the Groth16 public input IS the packed aggregated digest."""
+    c1 = ({2: 1}, {3: 1}, {6: 1})
+    lin = {1: 1, 2: R - 1, 3: (R - (1 << 64)) % R, 4: (R - (1 << 128)) % R, 5: (R - (1 << 192)) % R}
+    c2 = (lin, {0: 1}, {0: 0})
+    return R1CS(num_vars=7, num_public=1, constraints=[c1, c2])
+
+
+def wrap_witness(digest: List[int]) -> tuple[List[int], int]:
+    """digest: 4 Goldilocks elements -> (witness, public_input)."""
+    h0, h1, h2, h3 = [int(x) for x in digest]
+    pub = (h0 + (h1 << 64) + (h2 << 128) + (h3 << 192)) % R
+    t = h0 * h1 % R
+    return [1, pub, h0, h1, h2, h3, t], pub

@@ -1,4 +1,4 @@
-"""STARK chunk prover — AIR + ALI + FRI over Goldilocks.
+r"""STARK chunk prover — AIR + ALI + FRI over Goldilocks.
 
 This is the per-chunk proof behind the protocol's GenChunkProof step
 (reference semantics: proto/prover/v1/prover.proto:102-111; the reference

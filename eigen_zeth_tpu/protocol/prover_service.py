@@ -1,0 +1,274 @@
+"""The TPU batch prover — the service the reference outsources over gRPC.
+
+Implements the four ProverService step semantics (reference:
+proto/prover/v1/prover.proto; the reference's client state machine at
+src/prover/provider.rs:276-540 drives exactly these steps) as an
+in-process engine backed by the TPU proving stack:
+
+  gen_batch_chunks    execution payload -> chunk decomposition
+                      (task_id zero-padded to 10, chunk_count,
+                      pre/post state roots)
+  gen_chunk_proof     one STARK chunk proof per chunk (models/stark) —
+                      the embarrassingly parallel fan-out the reference
+                      ships to its prover network; here it maps across
+                      the chip mesh
+  gen_aggregated_proof verifies both child proofs, combines their
+                      digests with the Poseidon 2-to-1 compression
+                      (round-1 aggregation attestation; true recursive
+                      STARK verification is the scale-up path)
+  gen_final_proof     Groth16/BN128 wrap (models/groth16) binding the
+                      aggregated digest (+ aggregator address) into the
+                      single public input, emitted in the reference's
+                      exact proof JSON schema
+
+DEBUG_PROOF=TRUE replays the reference's canned vectors instead
+(reference behavior: src/settlement/worker.rs:49-96).
+
+Execution backend: the node side feeds real batch payloads; the default
+SyntheticExecutor derives deterministic per-block payloads + state roots
+(keccak-chained), standing in for the reference's external executor.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+from ..models import groth16, stark
+from ..models.poseidon_tags import chunk_gamma
+from ..ops import goldilocks as gl
+from ..ops import keccak, poseidon
+from ..utils.config import global_env
+from . import vectors
+from .messages import (
+    ChunkProof,
+    FinalProof,
+    GenAggregatedProofResult,
+    GenBatchChunksResult,
+    GenChunkProofResult,
+    GenFinalProofResult,
+    ProofResultCode,
+    make_task_id,
+)
+
+CHUNK_FIELD_ELEMS = 120  # data elements per chunk (< one trace of 128)
+
+
+@dataclass
+class ExecutionResult:
+    batch_data: bytes
+    pre_state_root: bytes
+    post_state_root: bytes
+
+
+class SyntheticExecutor:
+    """Deterministic stand-in for the L2 execution layer: per-block
+    payloads and keccak-chained state roots derived from block numbers."""
+
+    def execute(self, block_numbers: List[int], chain_id: int) -> ExecutionResult:
+        payload = b"".join(
+            keccak.keccak256_host(f"ezt-block/{chain_id}/{b}".encode()) for b in block_numbers
+        )
+        pre = keccak.keccak256_host(f"ezt-state/{chain_id}/{min(block_numbers) - 1}".encode())
+        post = keccak.keccak256_host(f"ezt-state/{chain_id}/{max(block_numbers)}".encode())
+        return ExecutionResult(payload, pre, post)
+
+
+def bytes_to_field_elements(data: bytes) -> List[int]:
+    """Pack 7 bytes per Goldilocks element (2^56 < p): injective, simple."""
+    out = []
+    for off in range(0, len(data), 7):
+        out.append(int.from_bytes(data[off : off + 7], "little"))
+    return out
+
+
+def chunk_digest(proof: dict) -> List[int]:
+    """Commitment digest of a chunk proof: binds its public values and
+    trace commitment."""
+    vals = [
+        int(proof["n"]),
+        int(proof["public"]["iv"]),
+        int(proof["public"]["out"]),
+        int(proof["public"]["gamma"]),
+    ] + [int(x) for x in proof["trace_root"]]
+    return poseidon.hash_elements_host(vals)
+
+
+class BatchProver:
+    """The in-process prover engine (the reference's external service)."""
+
+    def __init__(
+        self,
+        executor: Optional[SyntheticExecutor] = None,
+        stark_params: Optional[stark.StarkParams] = None,
+        groth16_seed: str = "ezt-groth16-dev",
+        use_jit: bool = True,
+    ):
+        self.executor = executor or SyntheticExecutor()
+        self.stark_params = stark_params or stark.StarkParams()
+        self.use_jit = use_jit
+        self._r1cs = groth16.wrap_circuit()
+        self._pk, self._vk = groth16.setup(self._r1cs, seed=groth16_seed)
+
+    # -- step 1 --------------------------------------------------------------
+
+    def gen_batch_chunks(
+        self, batch_id: str, block_numbers: List[int], chain_id: int, program_name: str
+    ) -> GenBatchChunksResult:
+        try:
+            ex = self.executor.execute(block_numbers, chain_id)
+            elems = bytes_to_field_elements(ex.batch_data)
+            chunk_count = max(1, -(-len(elems) // CHUNK_FIELD_ELEMS))
+            return GenBatchChunksResult(
+                batch_id=batch_id,
+                task_id=make_task_id(block_numbers[0]),
+                result_code=ProofResultCode.COMPLETED_OK,
+                chunk_count=chunk_count,
+                batch_data=base64.b64encode(ex.batch_data).decode(),
+                pre_state_root=ex.pre_state_root,
+                post_state_root=ex.post_state_root,
+            )
+        except Exception as e:  # mirror COMPLETED_ERROR semantics
+            return GenBatchChunksResult(
+                batch_id=batch_id,
+                task_id=make_task_id(block_numbers[0] if block_numbers else 0),
+                result_code=ProofResultCode.COMPLETED_ERROR,
+                chunk_count=0,
+                batch_data="",
+                pre_state_root=b"\x00" * 32,
+                post_state_root=b"\x00" * 32,
+                error_message=str(e),
+            )
+
+    # -- step 2 --------------------------------------------------------------
+
+    def gen_chunk_proof(
+        self,
+        batch_id: str,
+        task_id: str,
+        chunk_count: int,
+        chain_id: int,
+        program_name: str,
+        batch_data: str,
+    ) -> GenChunkProofResult:
+        try:
+            data = base64.b64decode(batch_data)
+            elems = bytes_to_field_elements(data)
+            proofs = []
+            for i in range(chunk_count):
+                chunk = elems[i * CHUNK_FIELD_ELEMS : (i + 1) * CHUNK_FIELD_ELEMS]
+                iv = poseidon.hash_elements_host(
+                    [chain_id, int(task_id), i]
+                )[0]
+                proof = stark.prove_chunk(chunk, iv, self.stark_params)
+                proofs.append(
+                    ChunkProof(
+                        chunk_id=i,
+                        proof_key=f"{task_id}/{i}",
+                        proof=json.dumps({"type": "chunk", "stark": proof}),
+                    )
+                )
+            return GenChunkProofResult(
+                batch_id=batch_id,
+                task_id=task_id,
+                result_code=ProofResultCode.COMPLETED_OK,
+                chunk_proofs=proofs,
+            )
+        except Exception as e:
+            return GenChunkProofResult(
+                batch_id=batch_id,
+                task_id=task_id,
+                result_code=ProofResultCode.COMPLETED_ERROR,
+                error_message=str(e),
+            )
+
+    # -- step 3 --------------------------------------------------------------
+
+    def gen_aggregated_proof(
+        self, batch_id: str, recursive_proof_1: str, recursive_proof_2: str
+    ) -> GenAggregatedProofResult:
+        try:
+            d1 = self._validate_recursive(recursive_proof_1)
+            d2 = self._validate_recursive(recursive_proof_2)
+            digest = poseidon.hash_two_host(d1, d2)
+            agg = {
+                "type": "aggregated",
+                "digest": [str(x) for x in digest],
+                "children": [json.loads(recursive_proof_1), json.loads(recursive_proof_2)],
+            }
+            return GenAggregatedProofResult(
+                batch_id=batch_id,
+                result_code=ProofResultCode.COMPLETED_OK,
+                result_string=json.dumps(agg),
+            )
+        except Exception as e:
+            return GenAggregatedProofResult(
+                batch_id=batch_id,
+                result_code=ProofResultCode.COMPLETED_ERROR,
+                error_message=str(e),
+            )
+
+    def _validate_recursive(self, raw: str) -> List[int]:
+        """Verify a chunk/aggregated proof; return its digest."""
+        node = json.loads(raw)
+        if node.get("type") == "chunk":
+            if not stark.verify_chunk(node["stark"], self.stark_params):
+                raise ValueError("invalid chunk proof")
+            return chunk_digest(node["stark"])
+        if node.get("type") == "aggregated":
+            d1 = self._validate_recursive(json.dumps(node["children"][0]))
+            d2 = self._validate_recursive(json.dumps(node["children"][1]))
+            digest = poseidon.hash_two_host(d1, d2)
+            if [str(x) for x in digest] != node["digest"]:
+                raise ValueError("aggregated digest mismatch")
+            return digest
+        raise ValueError(f"unknown recursive proof type {node.get('type')!r}")
+
+    # -- step 4 --------------------------------------------------------------
+
+    def gen_final_proof(
+        self, batch_id: str, recursive_proof: str, curve_name: str, aggregator_addr: str
+    ) -> GenFinalProofResult:
+        try:
+            if curve_name.upper() not in ("BN128", "BN254"):
+                raise ValueError(f"unsupported curve {curve_name!r}")
+            if global_env().debug_proof:
+                final = FinalProof(
+                    proof=json.dumps(vectors.reference_proof()),
+                    public_input=json.dumps(vectors.reference_public_input()),
+                )
+                return GenFinalProofResult(
+                    batch_id=batch_id,
+                    result_code=ProofResultCode.COMPLETED_OK,
+                    final_proof=final,
+                )
+            digest = self._validate_recursive(recursive_proof)
+            # bind the aggregator address into the wrapped digest
+            addr_elems = bytes_to_field_elements(aggregator_addr.encode())
+            bound = poseidon.hash_elements_host(digest + addr_elems)
+            witness, pub = groth16.wrap_witness(bound)
+            proof = groth16.prove(
+                self._pk, self._r1cs, witness, use_jit=self.use_jit
+            )
+            assert groth16.verify(self._vk, proof, [pub]), "self-check failed"
+            final = FinalProof(
+                proof=json.dumps(proof),
+                public_input=json.dumps([str(pub)]),
+            )
+            return GenFinalProofResult(
+                batch_id=batch_id,
+                result_code=ProofResultCode.COMPLETED_OK,
+                final_proof=final,
+            )
+        except Exception as e:
+            return GenFinalProofResult(
+                batch_id=batch_id,
+                result_code=ProofResultCode.COMPLETED_ERROR,
+                error_message=str(e),
+            )
+
+    @property
+    def verifying_key(self) -> groth16.VerifyingKey:
+        return self._vk

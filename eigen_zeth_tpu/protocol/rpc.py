@@ -1,0 +1,138 @@
+"""eigenrpc JSON-RPC server + mock L2 chain.
+
+Server mirror of the reference's jsonrpsee `eigenrpc` namespace extension
+(src/custom_reth/eigen.rs:17-28):
+  * eigenrpc_customMethod       — returns block 0 info (eigen.rs:44-47)
+  * eigenrpc_getBlockByNumber   — block joined with its rollup Status
+                                  from the KV store (eigen.rs:49-67)
+  * eigenrpc_getBatchProof      — BatchProofInfo from BATCH_PROOF_{n}
+                                  (eigen.rs:76-97): proof, public_input,
+                                  0x-hex pre/post state roots
+  * eigenrpc_traceTransaction   — unimplemented stub, like the reference
+                                  (eigen.rs:70-74)
+
+MockChain implements the minimal eth_* surface the pipeline consumes
+(eth_blockNumber, eth_getBlockByNumber) so the node runs hermetically —
+the role the reference fills with a live reth devnet.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from .kv import Database, PREFIX_BATCH_PROOF, ProofResult
+
+
+class MockChain:
+    """In-memory L2: blocks with optional transactions."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._blocks = [
+            {"number": "0x0", "transactions": [], "timestamp": "0x0"}
+        ]
+
+    def add_block(self, transactions: Optional[list] = None, timestamp: int = 0):
+        with self._lock:
+            n = len(self._blocks)
+            self._blocks.append(
+                {
+                    "number": hex(n),
+                    "transactions": transactions or [],
+                    "timestamp": hex(timestamp),
+                }
+            )
+            return n
+
+    def block_number(self) -> int:
+        with self._lock:
+            return len(self._blocks) - 1
+
+    def get_block_by_number(self, number, full_txs: bool = False):
+        n = int(number, 16) if isinstance(number, str) else int(number)
+        with self._lock:
+            if 0 <= n < len(self._blocks):
+                return dict(self._blocks[n])
+        return None
+
+
+def batch_proof_info(db: Database, block_number: int) -> Optional[dict]:
+    """BatchProofInfo shape (reference: eigen.rs:86-93, 108-117)."""
+    pr = db.get_proof(block_number)
+    if pr is None:
+        return None
+    return {
+        "blockNumber": pr.block_number,
+        "proof": pr.proof,
+        "publicInput": pr.public_input,
+        "preStateRoot": "0x" + pr.pre_state_root.hex(),
+        "postStateRoot": "0x" + pr.post_state_root.hex(),
+    }
+
+
+class EigenRpcServer:
+    """HTTP JSON-RPC endpoint serving eigenrpc_* (+ proxied eth_*)."""
+
+    def __init__(self, db: Database, chain, host: str = "127.0.0.1", port: int = 0):
+        self.db = db
+        self.chain = chain
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    req = json.loads(self.rfile.read(length))
+                    result = outer.dispatch(req.get("method", ""), req.get("params", []))
+                    body = {"jsonrpc": "2.0", "id": req.get("id"), "result": result}
+                except Exception as e:
+                    body = {
+                        "jsonrpc": "2.0",
+                        "id": None,
+                        "error": {"code": -32000, "message": str(e)},
+                    }
+                data = json.dumps(body).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        self.server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.server.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def dispatch(self, method: str, params: list):
+        if method == "eigenrpc_customMethod":
+            return {"block": self.chain.get_block_by_number(0), "status": None}
+        if method == "eigenrpc_getBlockByNumber":
+            n = int(params[0], 16) if isinstance(params[0], str) else int(params[0])
+            block = self.chain.get_block_by_number(n)
+            status = self.db.get_status(n)
+            return {"block": block, "status": status.value if status else None}
+        if method == "eigenrpc_getBatchProof":
+            n = int(params[0], 16) if isinstance(params[0], str) else int(params[0])
+            return batch_proof_info(self.db, n)
+        if method == "eigenrpc_traceTransaction":
+            raise NotImplementedError("traceTransaction is a stub (eigen.rs:70-74)")
+        if method == "eth_blockNumber":
+            return hex(self.chain.block_number())
+        if method == "eth_getBlockByNumber":
+            return self.chain.get_block_by_number(params[0], bool(params[1:]))
+        raise ValueError(f"unknown method {method!r}")
+
+    def start(self):
+        self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self.server.shutdown()
+        if self._thread:
+            self._thread.join(5)

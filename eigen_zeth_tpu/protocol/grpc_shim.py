@@ -1,0 +1,178 @@
+"""gRPC ProverService shim — wire-compatible with eigen-zeth.
+
+The reference node connects to its prover network over a single
+bidirectional gRPC stream (service ProverService { rpc ProverStream
+(stream ProverRequest) returns (stream ProverResponse) },
+proto/prover/v1/prover.proto:9-11; client at src/prover/provider.rs:
+564-706).  This shim serves that exact wire surface on top of the
+in-process TPU BatchProver, so an UNMODIFIED eigen-zeth node can point
+PROVER_ADDR at it.
+
+Message classes are protoc-generated from the protocol definition
+(grpc_gen/, the interface contract); the service itself is registered via
+grpc generic handlers since grpcio-tools is not available in this image.
+
+Also provides ProverStreamClient — a faithful re-implementation of the
+reference's ProverEndpoint send/receive behavior (request id matching,
+one in-flight request per step) used by tests and by any python-side
+driver that wants to talk to a remote prover.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent import futures
+from typing import Iterator, Optional
+
+import grpc
+
+from .grpc_gen.prover.v1 import prover_pb2 as pb
+from .messages import ProofResultCode
+from .prover_service import BatchProver
+
+SERVICE_NAME = "prover.v1.ProverService"
+METHOD_NAME = "ProverStream"
+
+
+def _handle_request(prover: BatchProver, req: pb.ProverRequest) -> pb.ProverResponse:
+    resp = pb.ProverResponse(id=req.id)
+    which = req.WhichOneof("request_type")
+
+    if which == "get_status":
+        resp.get_status.status = pb.GetStatusResponse.Status.STATUS_IDLE
+        resp.get_status.prover_status.prover_name = "ezt-tpu-prover"
+        resp.get_status.prover_status.version_proto = "v1"
+        resp.get_status.prover_status.version_server = "eigen-zeth-tpu-0.1"
+        return resp
+
+    if which == "gen_batch_proof":
+        step = req.gen_batch_proof.WhichOneof("step")
+        if step == "gen_batch_chunks":
+            m = req.gen_batch_proof.gen_batch_chunks
+            r = prover.gen_batch_chunks(
+                m.batch_id, list(m.batch.block_number), m.chain_id, m.program_name
+            )
+            out = resp.gen_batch_proof.gen_batch_chunks
+            out.batch_id = r.batch_id
+            out.task_id = r.task_id
+            out.result_code = int(r.result_code)
+            out.chunk_count = r.chunk_count
+            out.batch_data = r.batch_data
+            out.pre_state_root = r.pre_state_root
+            out.post_state_root = r.post_state_root
+            out.error_message = r.error_message
+            return resp
+        if step == "gen_chunk_proof":
+            m = req.gen_batch_proof.gen_chunk_proof
+            r = prover.gen_chunk_proof(
+                m.batch_id, m.task_id, m.chunk_count, m.chain_id,
+                m.program_name, m.batch_data,
+            )
+            out = resp.gen_batch_proof.gen_chunk_proof
+            out.batch_id = r.batch_id
+            out.task_id = r.task_id
+            out.result_code = int(r.result_code)
+            out.error_message = r.error_message
+            out.batch_proof_result.task_id = r.task_id
+            for cp in r.chunk_proofs:
+                entry = out.batch_proof_result.chunk_proofs.add()
+                entry.chunk_id = cp.chunk_id
+                entry.proof_key = cp.proof_key
+                entry.proof = cp.proof
+            return resp
+        raise ValueError(f"unknown gen_batch_proof step {step!r}")
+
+    if which == "gen_aggregated_proof":
+        m = req.gen_aggregated_proof
+        r = prover.gen_aggregated_proof(
+            m.batch_id, m.recursive_proof_1, m.recursive_proof_2
+        )
+        out = resp.gen_aggregated_proof
+        out.batch_id = r.batch_id
+        out.result_code = int(r.result_code)
+        out.result_string = r.result_string
+        out.error_message = r.error_message
+        return resp
+
+    if which == "gen_final_proof":
+        m = req.gen_final_proof
+        r = prover.gen_final_proof(
+            m.batch_id, m.recursive_proof, m.curve_name, m.aggregator_addr
+        )
+        out = resp.gen_final_proof
+        out.batch_id = r.batch_id
+        out.result_code = int(r.result_code)
+        out.result_string = r.result_string
+        out.error_message = r.error_message
+        if r.final_proof is not None:
+            out.final_proof.proof = r.final_proof.proof
+            out.final_proof.public_input = r.final_proof.public_input
+        return resp
+
+    raise ValueError(f"unknown request type {which!r}")
+
+
+class ProverServiceServer:
+    """Serves prover.v1.ProverService/ProverStream over real gRPC."""
+
+    def __init__(self, prover: BatchProver, host: str = "127.0.0.1", port: int = 0):
+        self.prover = prover
+
+        def stream_handler(request_iterator, context) -> Iterator[pb.ProverResponse]:
+            for req in request_iterator:
+                yield _handle_request(self.prover, req)
+
+        handler = grpc.method_handlers_generic_handler(
+            SERVICE_NAME,
+            {
+                METHOD_NAME: grpc.stream_stream_rpc_method_handler(
+                    stream_handler,
+                    request_deserializer=pb.ProverRequest.FromString,
+                    response_serializer=pb.ProverResponse.SerializeToString,
+                )
+            },
+        )
+        self.server = grpc.server(futures.ThreadPoolExecutor(max_workers=8))
+        self.server.add_generic_rpc_handlers((handler,))
+        self.port = self.server.add_insecure_port(f"{host}:{port}")
+
+    def start(self) -> "ProverServiceServer":
+        self.server.start()
+        return self
+
+    def stop(self, grace: float = 2.0):
+        self.server.stop(grace)
+
+
+class ProverStreamClient:
+    """The reference ProverEndpoint's send/receive discipline
+    (src/prover/provider.rs:631-703): one bidi stream, requests pushed
+    with ids, responses matched back."""
+
+    def __init__(self, addr: str):
+        self.channel = grpc.insecure_channel(addr)
+        self._call = self.channel.stream_stream(
+            f"/{SERVICE_NAME}/{METHOD_NAME}",
+            request_serializer=pb.ProverRequest.SerializeToString,
+            response_deserializer=pb.ProverResponse.FromString,
+        )
+        self._q: queue.Queue = queue.Queue()
+        self._responses = self._call(iter(self._q.get, None))
+        self._id = 0
+        self._lock = threading.Lock()
+
+    def request(self, build) -> pb.ProverResponse:
+        """build(req) fills one request; blocks for its response."""
+        with self._lock:
+            self._id += 1
+            req = pb.ProverRequest(id=str(self._id))
+            build(req)
+            self._q.put(req)
+            resp = next(self._responses)
+            assert resp.id == req.id, (resp.id, req.id)
+            return resp
+
+    def close(self):
+        self._q.put(None)
+        self.channel.close()

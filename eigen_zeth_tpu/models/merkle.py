@@ -62,8 +62,38 @@ def commit_digests(leaf_digests: GF) -> MerkleTree:
     return MerkleTree(levels=levels)
 
 
-def commit_leaves(leaves: GF) -> MerkleTree:
-    """Hash (N, k) field-element rows to digests, then build the tree."""
+def _commit_leaves_host(leaves: GF) -> MerkleTree:
+    """Host-bigint commit: on CPU backends the per-op dispatch overhead of
+    the eager device path dwarfs the math (~1s vs ~3ms per permutation);
+    production TPU runs use the device path."""
+    rows = gl.to_int(leaves)
+    if rows.ndim == 1:
+        rows = rows[:, None]
+    level = [poseidon.hash_elements_host([int(v) for v in row]) for row in rows]
+    levels_int = [level]
+    while len(level) > 1:
+        level = [
+            poseidon.hash_two_host(level[i], level[i + 1])
+            for i in range(0, len(level), 2)
+        ]
+        levels_int.append(level)
+    levels = [
+        gl.from_int_np(np.array(lv, dtype=np.uint64)) for lv in levels_int
+    ]
+    return MerkleTree(levels=levels)
+
+
+def commit_leaves(leaves: GF, prefer_host: bool | None = None) -> MerkleTree:
+    """Hash (N, k) field-element rows to digests, then build the tree.
+
+    prefer_host=None auto-selects: host bigints on CPU backends (test
+    mesh), bulk device hashing on TPU."""
+    import jax
+
+    if prefer_host is None:
+        prefer_host = jax.default_backend() == "cpu"
+    if prefer_host:
+        return _commit_leaves_host(leaves)
     return commit_digests(poseidon.hash_elements(leaves))
 
 

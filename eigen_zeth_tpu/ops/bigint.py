@@ -24,12 +24,28 @@ itself only ever parses the resulting proof integers as decimal strings
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 LIMB_BITS = 16
+
+
+@functools.lru_cache(maxsize=1)
+def _pallas_enabled() -> bool:
+    """Pallas kernels run on real TPU backends; CPU tests use XLA (or set
+    EZT_MONT_BACKEND=pallas / xla to force either)."""
+    forced = os.environ.get("EZT_MONT_BACKEND", "")
+    if forced == "pallas":
+        return True
+    if forced == "xla":
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 MASK = jnp.uint32(0xFFFF)
 
 
@@ -85,25 +101,36 @@ class MontCtx:
     # -- host <-> device ----------------------------------------------------
 
     def from_int(self, values, mont: bool = True) -> jnp.ndarray:
-        """Python ints / iterable -> (L, ...) device array (Montgomery form)."""
+        """Python ints / iterable -> (L, ...) device array (Montgomery form).
+
+        Limb decomposition via a single bytes round trip (no per-limb
+        python loop — that costs seconds at MSM sizes)."""
         arr = np.asarray(values, dtype=object)
         flat = arr.reshape(-1)
-        out = np.zeros((self.L,) + (flat.shape[0],), dtype=np.uint32)
-        for i, v in enumerate(flat):
-            v = int(v) % self.q
-            if mont:
-                v = (v * self.R_mod) % self.q
-            out[:, i] = limbs_from_int(v, self.L)
+        q, r_mod = self.q, self.R_mod
+        if mont:
+            ints = [int(v) % q * r_mod % q for v in flat]
+        else:
+            ints = [int(v) % q for v in flat]
+        nbytes = self.L * 2
+        buf = b"".join(v.to_bytes(nbytes, "little") for v in ints)
+        out = (
+            np.frombuffer(buf, dtype="<u2")
+            .reshape(len(ints), self.L)
+            .T.astype(np.uint32)
+        )
         return jnp.asarray(out.reshape((self.L,) + arr.shape))
 
     def to_int(self, x: jnp.ndarray, mont: bool = True) -> np.ndarray:
         """(L, ...) device array -> object ndarray of python ints."""
-        host = np.asarray(jax.device_get(x), dtype=np.uint64)
-        flat = host.reshape(self.L, -1)
-        out = np.empty(flat.shape[1], dtype=object)
+        host = np.asarray(jax.device_get(x), dtype=np.uint32)
+        flat = host.reshape(self.L, -1).T.astype("<u2")  # limbs are 16-bit
+        buf = flat.tobytes()
+        nbytes = self.L * 2
         r_inv = pow(self.R_mod, self.q - 2, self.q) if mont else 1
-        for i in range(flat.shape[1]):
-            v = int_from_limbs(flat[:, i])
+        out = np.empty(flat.shape[0], dtype=object)
+        for i in range(flat.shape[0]):
+            v = int.from_bytes(buf[i * nbytes : (i + 1) * nbytes], "little")
             out[i] = (v * r_inv) % self.q if mont else v
         return out.reshape(host.shape[1:])
 
@@ -244,7 +271,34 @@ class MontCtx:
         return jnp.stack(out)  # final carry is 0 for full, dropped for half
 
     def mont_mul(self, a, b):
-        """Montgomery multiply a·b·R^{-1} mod q via full-width REDC:
+        """Montgomery multiply a·b·R^{-1} mod q.
+
+        Dispatch: on TPU (any non-CPU backend) with a real batch, the
+        Pallas CIOS kernel (ops/pallas/mont_pl.py) runs the whole multiply
+        in VMEM — ~100x the XLA path, which must materialize (L, L, B)
+        limb products in HBM.  CPU and scalar shapes use the XLA path."""
+        if _pallas_enabled() and (a.ndim > 1 or b.ndim > 1):
+            from .pallas.mont_pl import mont_mul_pallas
+
+            shape = jnp.broadcast_shapes(a.shape[1:], b.shape[1:])
+            size = 1
+            for d in shape:
+                size *= d
+            if size >= 128:
+                a2 = jnp.broadcast_to(
+                    a.reshape((self.L,) + (1,) * (len(shape) - (a.ndim - 1)) + a.shape[1:]),
+                    (self.L,) + shape,
+                ).reshape(self.L, -1)
+                b2 = jnp.broadcast_to(
+                    b.reshape((self.L,) + (1,) * (len(shape) - (b.ndim - 1)) + b.shape[1:]),
+                    (self.L,) + shape,
+                ).reshape(self.L, -1)
+                out = mont_mul_pallas(self, a2, b2)
+                return out.reshape((self.L,) + shape)
+        return self._mont_mul_xla(a, b)
+
+    def _mont_mul_xla(self, a, b):
+        """XLA-graph Montgomery multiply via full-width REDC:
 
           T = a·b;  m = T_lo·N' mod R;  t = (T + m·q) / R;  t -= q if t >= q
 

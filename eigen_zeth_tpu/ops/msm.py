@@ -271,13 +271,27 @@ def _g2_device_points(points_int) -> PointJ:
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def _msm_jit_g1(points: PointJ, digits, c: int) -> PointJ:
-    return msm(bn254.FqOps(), points, digits, c=c)
+def _window_sums_jit_g1(points: PointJ, digits, c: int) -> PointJ:
+    return msm_window_sums(ECGroup(bn254.FqOps()), points, digits, c=c)
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def _msm_jit_g2(points: PointJ, digits, c: int) -> PointJ:
-    return msm(bn254.Fq2Ops(), points, digits, c=c)
+def _window_sums_jit_g2(points: PointJ, digits, c: int) -> PointJ:
+    return msm_window_sums(ECGroup(bn254.Fq2Ops()), points, digits, c=c)
+
+
+@jax.jit
+def _to_affine_jit_g1(S: PointJ):
+    F = bn254.FqOps()
+    ax, ay = to_affine(F, S)
+    return ax, ay, F.is_zero(S.z)
+
+
+@jax.jit
+def _to_affine_jit_g2(S: PointJ):
+    F = bn254.Fq2Ops()
+    ax, ay = to_affine(F, S)
+    return ax, ay, F.is_zero(S.z)
 
 
 def msm_g1(points_int, scalars, c: int = DEFAULT_C, use_jit: bool = True):
@@ -289,16 +303,16 @@ def msm_g1(points_int, scalars, c: int = DEFAULT_C, use_jit: bool = True):
     F = bn254.FqOps()
     pts = _g1_device_points(points_int)
     digits = jnp.asarray(scalar_digits(scalars, c))
+    # device window sums, host Horner combine (the device Horner is a
+    # 2^c·W-step sequential tail of tiny kernels — host bigints win)
     if use_jit:
-        out = _msm_jit_g1(pts, digits, c)
-        ax, ay = to_affine(F, out)
-        if bool(np.asarray(F.is_zero(out.z))):
-            return None
-        return (int(F.to_int(ax)[()]), int(F.to_int(ay)[()]))
-    # eager (CPU test) path: device window sums, host Horner combine
-    S = msm_window_sums(ECGroup(F), pts, digits, c=c, eager=True)
-    ax, ay = to_affine(F, S)
-    inf = np.asarray(F.is_zero(S.z))
+        S = _window_sums_jit_g1(pts, digits, c)
+        ax, ay, inf = _to_affine_jit_g1(S)
+        inf = np.asarray(inf)
+    else:
+        S = msm_window_sums(ECGroup(F), pts, digits, c=c, eager=True)
+        ax, ay = to_affine(F, S)
+        inf = np.asarray(F.is_zero(S.z))
     xs, ys = F.to_int(ax), F.to_int(ay)
     windows = [
         None if inf[w] else (int(xs[w]), int(ys[w])) for w in range(digits.shape[0])
@@ -312,15 +326,13 @@ def msm_g2(points_int, scalars, c: int = DEFAULT_C, use_jit: bool = True):
     pts = _g2_device_points(points_int)
     digits = jnp.asarray(scalar_digits(scalars, c))
     if use_jit:
-        out = _msm_jit_g2(pts, digits, c)
-        ax, ay = to_affine(F, out)
-        if bool(np.asarray(F.is_zero(out.z))):
-            return None
-        (x0, x1), (y0, y1) = F.to_int(ax), F.to_int(ay)
-        return ((int(x0[()]), int(x1[()])), (int(y0[()]), int(y1[()])))
-    S = msm_window_sums(ECGroup(F), pts, digits, c=c, eager=True)
-    ax, ay = to_affine(F, S)
-    inf = np.asarray(F.is_zero(S.z))
+        S = _window_sums_jit_g2(pts, digits, c)
+        ax, ay, inf = _to_affine_jit_g2(S)
+        inf = np.asarray(inf)
+    else:
+        S = msm_window_sums(ECGroup(F), pts, digits, c=c, eager=True)
+        ax, ay = to_affine(F, S)
+        inf = np.asarray(F.is_zero(S.z))
     (x0, x1), (y0, y1) = F.to_int(ax), F.to_int(ay)
     windows = [
         None if inf[w] else ((int(x0[w]), int(x1[w])), (int(y0[w]), int(y1[w])))

@@ -2,6 +2,8 @@
 
 import copy
 
+import pytest
+
 import numpy as np
 
 from eigen_zeth_tpu.models import fri
@@ -47,6 +49,7 @@ def test_fri_rejects_tampered_value():
     assert not ok
 
 
+@pytest.mark.slow
 def test_fri_rejects_tampered_root():
     _, evals = _commit_poly(64)
     out = fri.fri_prove(evals, SHIFT, Transcript("fri"), PARAMS)
@@ -56,6 +59,7 @@ def test_fri_rejects_tampered_root():
     assert not ok
 
 
+@pytest.mark.slow
 def test_fri_rejects_tampered_final_coeffs():
     _, evals = _commit_poly(64)
     out = fri.fri_prove(evals, SHIFT, Transcript("fri"), PARAMS)

@@ -41,6 +41,7 @@ def test_msm_g1_small():
     assert got == expect
 
 
+@pytest.mark.slow
 def test_msm_g1_edge_cases():
     g = G1_GEN
     p2 = h_ec_mul(2, g)
@@ -52,6 +53,7 @@ def test_msm_g1_edge_cases():
     assert got == expect
 
 
+@pytest.mark.slow
 def test_msm_g1_zero_result():
     points = [G1_GEN, G1_GEN]
     scalars = [1, bn254.R - 1]

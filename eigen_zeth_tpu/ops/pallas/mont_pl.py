@@ -29,8 +29,8 @@ MASK16 = 0xFFFF  # python int: pallas kernels may not capture array constants
 
 def _mont_mul_kernel(L: int, q_limbs, n0: int, a_ref, b_ref, out_ref):
     """CIOS with 16-bit limbs; q_limbs/n0 are python-time constants."""
-    a = [a_ref[i, :] for i in range(L)]
-    b = [b_ref[i, :] for i in range(L)]
+    a = [a_ref[i] for i in range(L)]
+    b = [b_ref[i] for i in range(L)]
     zero = jnp.zeros_like(a[0])
     t = [zero] * (L + 2)
     for i in range(L):
@@ -69,42 +69,49 @@ def _mont_mul_kernel(L: int, q_limbs, n0: int, a_ref, b_ref, out_ref):
         qi = int(q_limbs[i])
         d = t[i] - qi - borrow
         borrow = (d >> 31) & 1
-        out_ref[i, :] = jnp.where(ge, d & MASK16, t[i])
+        out_ref[i] = jnp.where(ge, d & MASK16, t[i])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("L", "n0", "q_tuple", "tile", "interpret")
+    jax.jit, static_argnames=("L", "n0", "q_tuple", "rows", "interpret")
 )
-def _mont_mul_call(a, b, L, n0, q_tuple, tile, interpret):
-    n = a.shape[1]
+def _mont_mul_call(a, b, L, n0, q_tuple, rows, interpret):
+    """a, b: (L, R, 128) — limb planes are native (rows, 128) tiles, so
+    per-limb slices a_ref[i] need no cross-sublane relayout."""
+    total_rows = a.shape[1]
     kernel = functools.partial(_mont_mul_kernel, L, q_tuple, n0)
-    grid = (n // tile,)
+    grid = (total_rows // rows,)
+    spec = pl.BlockSpec((L, rows, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((L, n), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((L, total_rows, 128), jnp.uint32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        in_specs=[spec, spec],
+        out_specs=spec,
         interpret=interpret,
     )(a, b)
 
 
-def mont_mul_pallas(ctx, a, b, tile: int = 1024, interpret: bool = False):
-    """Drop-in for MontCtx.mont_mul on (L, B) operands (B % tile == 0 is
-    padded internally)."""
+def mont_mul_pallas(ctx, a, b, rows: int = 64, interpret: bool = False):
+    """Drop-in for MontCtx.mont_mul on (L, B) operands.
+
+    B is padded to a multiple of rows*128 and viewed as (L, B/128, 128)
+    so every limb plane is a stack of native 8x128 tiles."""
     L = ctx.L
     assert a.ndim == 2 and b.ndim == 2, "pallas path expects (L, B)"
     n = a.shape[1]
-    tile = min(tile, max(128, 1 << (n - 1).bit_length()))
-    pad = (-n) % tile
+    lane_rows = max(1, -(-n // 128))
+    rows = min(rows, 1 << max(0, (lane_rows - 1).bit_length()))
+    pad = (-n) % (rows * 128)
     if pad:
         a = jnp.pad(a, ((0, 0), (0, pad)))
         b = jnp.pad(b, ((0, 0), (0, pad)))
+    m = a.shape[1]
+    a3 = a.reshape(L, m // 128, 128)
+    b3 = b.reshape(L, m // 128, 128)
     out = _mont_mul_call(
-        a, b, L, ctx.nprime & 0xFFFF, tuple(int(x) for x in ctx.q_limbs_np),
-        tile, interpret,
+        a3, b3, L, ctx.nprime & 0xFFFF, tuple(int(x) for x in ctx.q_limbs_np),
+        rows, interpret,
     )
+    out = out.reshape(L, m)
     return out[:, :n] if pad else out

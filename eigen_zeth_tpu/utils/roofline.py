@@ -1,0 +1,110 @@
+"""Speed-of-light roofline model — per-kernel efficiency reporting.
+
+BASELINE.json requires every field kernel benchmarked against the
+per-chip roofline.  Model: a kernel's floor time is
+    max(hbm_bytes / HBM_BW,  vpu_ops / VPU_OPS,  mxu_flops / MXU_FLOPS)
+and efficiency = floor_time / measured_time.
+
+Peaks are per-chip numbers for the benchmarking part (TPU v5e / v5litepod;
+v5p values included for the production target).  VPU throughput is an
+estimate (8x128 lanes, ~4 int32 ALU ops/lane/cycle at ~0.94 GHz per
+core x 2? — published material does not give an exact int32 figure), so
+VPU-bound efficiencies are indicative rather than exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class ChipSpec:
+    name: str
+    hbm_bw: float  # bytes/s
+    vpu_ops: float  # int32/f32 elementwise ops/s
+    mxu_flops: float  # f32-precision-capable flops/s (HIGHEST-precision dots)
+
+
+V5E = ChipSpec(
+    name="v5e",
+    hbm_bw=819e9,
+    vpu_ops=3.9e12,  # ~8*128 lanes * 4 ops * 0.94 GHz * (2 tensorcores)
+    mxu_flops=197e12 / 4,  # f32-exact (3-6 pass) dots run well below bf16 peak
+)
+
+V5P = ChipSpec(
+    name="v5p",
+    hbm_bw=2765e9,
+    vpu_ops=11e12,
+    mxu_flops=459e12 / 4,
+)
+
+
+@dataclass
+class KernelReport:
+    name: str
+    measured_s: float
+    hbm_bytes: float = 0.0
+    vpu_ops: float = 0.0
+    mxu_flops: float = 0.0
+    chip: ChipSpec = V5E
+
+    @property
+    def floor_s(self) -> float:
+        return max(
+            self.hbm_bytes / self.chip.hbm_bw,
+            self.vpu_ops / self.chip.vpu_ops,
+            self.mxu_flops / self.chip.mxu_flops,
+            1e-12,
+        )
+
+    @property
+    def bound(self) -> str:
+        floors = {
+            "hbm": self.hbm_bytes / self.chip.hbm_bw,
+            "vpu": self.vpu_ops / self.chip.vpu_ops,
+            "mxu": self.mxu_flops / self.chip.mxu_flops,
+        }
+        return max(floors, key=floors.get)
+
+    @property
+    def efficiency(self) -> float:
+        return self.floor_s / self.measured_s
+
+    def line(self) -> str:
+        return (
+            f"{self.name:<32} {self.measured_s * 1e3:9.2f} ms   "
+            f"floor {self.floor_s * 1e3:8.2f} ms ({self.bound}-bound)   "
+            f"SoL {self.efficiency * 100:5.1f}%"
+        )
+
+
+# --- cost models for the framework's hot kernels ---------------------------
+
+
+def ntt_cost(n: int, batch: int = 1) -> dict:
+    """Radix-2 NTT over Goldilocks: log2(n) stages; the unfused XLA path
+    streams the array per stage (read+write 8B/elem) and each butterfly
+    costs ~55 uint32 VPU ops per element pair-half."""
+    stages = n.bit_length() - 1
+    elems = n * batch
+    return dict(
+        hbm_bytes=2.0 * 8 * elems * (stages + 1),
+        vpu_ops=55.0 * elems * stages / 2,
+    )
+
+
+def poseidon_cost(n_perms: int) -> dict:
+    """30 rounds x (MDS 144 muls + sbox) with gl.mul ~40 uint32 ops."""
+    return dict(
+        hbm_bytes=2.0 * 8 * 12 * n_perms,  # state in/out (fused rounds)
+        vpu_ops=n_perms * 30.0 * (144 + 16) * 45,
+    )
+
+
+def mont_mul_cost(n_muls: int) -> dict:
+    """Pallas CIOS: (L,B) in/out through VMEM; 16 outer x 2x16 MAC sweeps."""
+    return dict(
+        hbm_bytes=3.0 * 64 * n_muls,
+        vpu_ops=n_muls * 16 * (16 * 8 + 16 * 8 + 20),
+    )

@@ -79,8 +79,36 @@ class ECGroup:
 
     def __init__(self, F):
         self.F = F
+        self._is_g1 = isinstance(F, bn254.FqOps)
+
+    def _pallas_ok(self, a: PointJ) -> bool:
+        if not self._is_g1:
+            return False
+        from .bigint import _pallas_enabled
+
+        leaf = a.x
+        if not hasattr(leaf, "ndim") or leaf.ndim < 2:
+            return False
+        size = 1
+        for d in leaf.shape[1:]:
+            size *= d
+        return size >= 512 and _pallas_enabled()
 
     def add(self, a, b):
+        if self._pallas_ok(a):
+            from ..ops.pallas.ec_pl import point_add_pallas
+            from .bn254 import PointJ as PJ
+
+            ctx = self.F.ctx
+            batch = a.x.shape[1:]
+            flat = lambda l: l.reshape(ctx.L, -1)
+            x3, y3, z3 = point_add_pallas(
+                ctx,
+                (flat(a.x), flat(a.y), flat(a.z)),
+                (flat(b.x), flat(b.y), flat(b.z)),
+            )
+            unflat = lambda l: l.reshape((ctx.L,) + batch)
+            return PJ(unflat(x3), unflat(y3), unflat(z3))
         return point_add(self.F, a, b)
 
     def double(self, a):
@@ -146,6 +174,64 @@ def _hs_scan(G, pts, flags=None, reverse: bool = False, eager: bool = False):
     if reverse:
         out = _tmap(lambda l: jnp.flip(l, axis=-1), out)
     return out
+
+
+def _blocked_seg_scan(G, pts, flags, serial: int = 32):
+    """O(N) two-phase segmented inclusive scan along the last axis.
+
+    Hillis-Steele costs N·log2(N) group ops; this does ~2N:
+      phase 1: view N as (C lanes x S serial); a lax.scan over S computes
+               lane-local segmented running sums (one full-width group op
+               per step, S steps)
+      phase 2: lane tails combine across lanes with a small segmented
+               scan (C elements); inflow for each lane is the combined
+               tail of the connected preceding run
+      phase 3: one masked full-width add folds the inflow into each
+               lane's head run (positions before its first real flag)
+
+    pts: leaves (..., N) with a leading element axis; flags: (..., N) with
+    one less rank (broadcasts in selects).  True = segment start."""
+    n = flags.shape[-1]
+    S = serial
+    while n % S:
+        S //= 2
+    C = n // S
+
+    resh = lambda l: l.reshape(l.shape[:-1] + (C, S))
+    pts_r = _tmap(resh, pts)
+    flags_r = resh(flags)
+    lane_start = flags_r.at[..., 0].set(True)
+
+    # phase 1 — serial scan within lanes
+    xs = _tmap(lambda l: jnp.moveaxis(l, -1, 0), pts_r)
+    fx = jnp.moveaxis(lane_start, -1, 0)
+
+    def step(acc, inp):
+        val, f = inp
+        new = G.select(f, val, G.add(acc, val))
+        return new, new
+
+    init = _tmap(lambda l: jnp.zeros_like(l[0]), xs)
+    _, ys = jax.lax.scan(step, init, (xs, fx))
+    scanned = _tmap(lambda l: jnp.moveaxis(l, 0, -1), ys)  # (..., C, S)
+
+    # phase 2 — combine lane tails
+    tails = _tmap(lambda l: l[..., -1], scanned)  # (..., C)
+    has_flag = jnp.any(flags_r, axis=-1)  # (..., C)
+    lane_scan = _hs_scan(G, tails, flags=has_flag)
+    shifted = _tmap(lambda l: jnp.roll(l, 1, axis=-1), lane_scan)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (C,), 0)
+    connected = (idx > 0) & ~flags_r[..., 0]  # lane start continues prev segment
+    identity = _tmap(jnp.zeros_like, shifted)
+    inflow = G.select(connected, shifted, identity)
+
+    # phase 3 — add inflow to each lane's head run
+    head = jnp.cumsum(flags_r.astype(jnp.int32), axis=-1) == 0  # (..., C, S)
+    inflow_b = _tmap(
+        lambda l: jnp.broadcast_to(l[..., None], l.shape + (S,)), inflow
+    )
+    fixed = G.select(head, G.add(scanned, inflow_b), scanned)
+    return _tmap(lambda l: l.reshape(l.shape[:-2] + (n,)), fixed)
 
 
 def _scan_total(G, pts, eager: bool = False):

@@ -56,10 +56,12 @@ def bench_ntt() -> float:
     n = 1 << 20
     batch = 4
     rng = np.random.default_rng(0xBE7C)
-    plan_f = nttm.make_plan(n)
-    plan_i = nttm.make_plan(n, inverse=True)
-    fwd = jax.jit(lambda x: nttm.ntt(x, plan_f))
-    inv = jax.jit(lambda x: nttm.intt(x, plan_i))
+    # four-step (1024x1024) layout: stages slice lanes instead of the
+    # concat-heavy flat radix-2 graph — ~6x faster on chip
+    plan_f = nttm.make_four_step_plan(n, 1024)
+    plan_i = nttm.make_four_step_plan(n, 1024, inverse=True)
+    fwd = jax.jit(lambda x: nttm.ntt_four_step(x, plan_f))
+    inv = jax.jit(lambda x: nttm.intt_four_step(x, plan_i))
     x = gl.random_gf((batch, n), rng)
 
     t0 = time.time()

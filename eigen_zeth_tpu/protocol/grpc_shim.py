@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent import futures
 from typing import Iterator, Optional
 
@@ -148,10 +149,21 @@ class ProverServiceServer:
 class ProverStreamClient:
     """The reference ProverEndpoint's send/receive discipline
     (src/prover/provider.rs:631-703): one bidi stream, requests pushed
-    with ids, responses matched back."""
+    with ids, responses matched back.  On stream failure the client
+    reconnects with the reference's 5s backoff (provider.rs:605-621) and
+    the caller retries the in-flight step (provider.rs:345-348)."""
 
-    def __init__(self, addr: str):
-        self.channel = grpc.insecure_channel(addr)
+    RECONNECT_BACKOFF_S = 5.0  # provider.rs:618
+
+    def __init__(self, addr: str, max_retries: int = 3):
+        self.addr = addr
+        self.max_retries = max_retries
+        self._id = 0
+        self._lock = threading.Lock()
+        self._connect()
+
+    def _connect(self):
+        self.channel = grpc.insecure_channel(self.addr)
         self._call = self.channel.stream_stream(
             f"/{SERVICE_NAME}/{METHOD_NAME}",
             request_serializer=pb.ProverRequest.SerializeToString,
@@ -159,19 +171,34 @@ class ProverStreamClient:
         )
         self._q: queue.Queue = queue.Queue()
         self._responses = self._call(iter(self._q.get, None))
-        self._id = 0
-        self._lock = threading.Lock()
 
     def request(self, build) -> pb.ProverResponse:
-        """build(req) fills one request; blocks for its response."""
+        """build(req) fills one request; blocks for its response.
+        Retries the same request over a fresh stream on transport error."""
         with self._lock:
             self._id += 1
             req = pb.ProverRequest(id=str(self._id))
             build(req)
-            self._q.put(req)
-            resp = next(self._responses)
-            assert resp.id == req.id, (resp.id, req.id)
-            return resp
+            last_err = None
+            for attempt in range(self.max_retries + 1):
+                try:
+                    self._q.put(req)
+                    resp = next(self._responses)
+                    assert resp.id == req.id, (resp.id, req.id)
+                    return resp
+                except (grpc.RpcError, StopIteration) as e:
+                    last_err = e
+                    if attempt == self.max_retries:
+                        break
+                    time.sleep(self.RECONNECT_BACKOFF_S * (attempt > 0))
+                    try:
+                        self.channel.close()
+                    except Exception:
+                        pass
+                    self._connect()
+            raise ConnectionError(
+                f"prover stream failed after {self.max_retries} retries"
+            ) from last_err
 
     def close(self):
         self._q.put(None)

@@ -83,18 +83,61 @@ def _commit_leaves_host(leaves: GF) -> MerkleTree:
     return MerkleTree(levels=levels)
 
 
+import jax as _jax
+import jax.numpy as _jnp
+
+
+@_jax.jit
+def _commit_device_run(lo, hi):
+    """One jitted program: leaf digests + every tree level.
+
+    Constant-shape trick: each lax.scan step hashes ALL n/2 adjacent
+    pairs of a fixed-size (n, 4) working array (the live level occupies a
+    halving prefix; the tail is junk) and emits the (n/2, 4) result.
+    One hash_two in the trace, log2(n) runtime steps, ~2x redundant
+    hashing — a fine trade for minutes of compile time.  Module-level jit
+    so the executable caches per shape."""
+    n = lo.shape[0]
+    levels_n = n.bit_length() - 1
+    digests = poseidon.hash_elements(GF(lo, hi))  # (n, 4)
+
+    def step(d, _):
+        even = GF(d.lo[0::2], d.hi[0::2])
+        odd = GF(d.lo[1::2], d.hi[1::2])
+        h = poseidon.hash_two(even, odd)  # (n/2, 4)
+        d2 = GF(
+            _jnp.concatenate([h.lo, d.lo[n // 2 :]], axis=0),
+            _jnp.concatenate([h.hi, d.hi[n // 2 :]], axis=0),
+        )
+        return d2, h
+
+    _, ys = _jax.lax.scan(step, digests, None, length=levels_n)
+    return digests, ys
+
+
+def _commit_device_jit(leaves: GF):
+    n = leaves.lo.shape[0]
+    levels_n = n.bit_length() - 1
+    digests, ys = _commit_device_run(leaves.lo, leaves.hi)
+    levels = [digests]
+    for k in range(levels_n):
+        live = n >> (k + 1)
+        levels.append(GF(ys.lo[k, :live], ys.hi[k, :live]))
+    return levels
+
+
 def commit_leaves(leaves: GF, prefer_host: bool | None = None) -> MerkleTree:
     """Hash (N, k) field-element rows to digests, then build the tree.
 
     prefer_host=None auto-selects: host bigints on CPU backends (test
-    mesh), bulk device hashing on TPU."""
+    mesh), one jitted device program on TPU."""
     import jax
 
     if prefer_host is None:
         prefer_host = jax.default_backend() == "cpu"
     if prefer_host:
         return _commit_leaves_host(leaves)
-    return commit_digests(poseidon.hash_elements(leaves))
+    return MerkleTree(levels=_commit_device_jit(leaves))
 
 
 def verify_path(

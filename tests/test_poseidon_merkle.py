@@ -71,6 +71,17 @@ def test_merkle_commit_open_verify():
     assert not merkle.verify_path(root, 5, [int(v) for v in leaves_np[5]], path)
 
 
+def test_merkle_device_scan_matches_host():
+    """The constant-shape scan commit (TPU path) must produce the same
+    tree as the host bigint path."""
+    leaves = gl.from_int(rand_ints(32, 4))
+    td = merkle.commit_leaves(leaves, prefer_host=False)
+    th = merkle.commit_leaves(leaves, prefer_host=True)
+    assert td.root() == th.root()
+    assert td.open(5) == th.open(5)
+    assert len(td.levels) == len(th.levels)
+
+
 def test_merkle_root_deterministic():
     leaves = gl.from_int(rand_ints(16, 4))
     assert merkle.commit_leaves(leaves).root() == merkle.commit_leaves(leaves).root()

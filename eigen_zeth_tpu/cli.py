@@ -111,7 +111,9 @@ def cmd_run(args, wait: bool = True) -> int:
 
     operator = None
     if not args.no_prover:
-        prover = BatchProver()
+        from .protocol.prover_service import ChainExecutor
+
+        prover = BatchProver(executor=ChainExecutor(sequencer))
         operator = Operator(
             db=db,
             chain=sequencer,

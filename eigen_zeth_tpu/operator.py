@@ -32,7 +32,11 @@ class Operator:
 
     def __post_init__(self):
         env = global_env()
-        self.prover = self.prover or BatchProver()
+        if self.prover is None:
+            # default node path: proofs bind the REAL sequenced chain
+            from .protocol.prover_service import ChainExecutor
+
+            self.prover = BatchProver(executor=ChainExecutor(self.chain))
         self.pipeline = ProverPipeline(
             self.db, self.prover, aggregator_addr=self.aggregator_addr
         )

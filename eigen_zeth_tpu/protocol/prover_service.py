@@ -24,9 +24,15 @@ in-process engine backed by the TPU proving stack:
 DEBUG_PROOF=TRUE replays the reference's canned vectors instead
 (reference behavior: src/settlement/worker.rs:49-96).
 
-Execution backend: the node side feeds real batch payloads; the default
-SyntheticExecutor derives deterministic per-block payloads + state roots
-(keccak-chained), standing in for the reference's external executor.
+Execution backend: the node path uses ChainExecutor, which derives the
+batch payload from the chain's ACTUAL sequenced blocks — the same
+EIP-155 RLP packing the rollup worker submits on-chain
+(src/settlement/worker.rs:425-449) prefixed with the real pre/post state
+roots, so the chunk STARKs commit to the sequenced transactions
+(reference semantics: the prover network holds the chain and executes
+the block numbers it is handed, proto/prover/v1/prover.proto:49-54).
+SyntheticExecutor remains as the hermetic stand-in for prover-only unit
+tests.
 """
 
 from __future__ import annotations
@@ -40,6 +46,7 @@ from ..models import groth16, stark
 from ..models.poseidon_tags import chunk_gamma
 from ..ops import goldilocks as gl
 from ..ops import keccak, poseidon
+from ..utils import rlp
 from ..utils.config import global_env
 from . import vectors
 from .messages import (
@@ -65,7 +72,8 @@ class ExecutionResult:
 
 class SyntheticExecutor:
     """Deterministic stand-in for the L2 execution layer: per-block
-    payloads and keccak-chained state roots derived from block numbers."""
+    payloads and keccak-chained state roots derived from block numbers.
+    Used by prover-only unit tests; the node path uses ChainExecutor."""
 
     def execute(self, block_numbers: List[int], chain_id: int) -> ExecutionResult:
         payload = b"".join(
@@ -73,7 +81,56 @@ class SyntheticExecutor:
         )
         pre = keccak.keccak256_host(f"ezt-state/{chain_id}/{min(block_numbers) - 1}".encode())
         post = keccak.keccak256_host(f"ezt-state/{chain_id}/{max(block_numbers)}".encode())
-        return ExecutionResult(payload, pre, post)
+        return ExecutionResult(pre + post + payload, pre, post)
+
+
+def _block_state_root(block: dict) -> bytes:
+    """State root of a block header; mocks without one get a content-
+    derived commitment so the binding property still holds."""
+    root = block.get("stateRoot")
+    if isinstance(root, str) and root.startswith("0x"):
+        return bytes.fromhex(root[2:]).rjust(32, b"\x00")
+    content = json.dumps(
+        {"number": block.get("number"), "transactions": block.get("transactions")},
+        sort_keys=True,
+    ).encode()
+    return keccak.keccak256_host(content)
+
+
+class ChainExecutor:
+    """The real execution backend: reads the sequenced chain itself.
+
+    Mirrors the reference topology where the prover network holds the L2
+    chain and executes the block numbers the node hands it
+    (proto/prover/v1/prover.proto:49-54).  The batch payload is
+        pre_state_root || post_state_root || RLP(tx_0) ... RLP(tx_k)
+    with each tx packed exactly as the rollup worker submits it on-chain
+    (src/settlement/worker.rs:425-449 — utils/rlp.encode_legacy_tx), so
+    the chunk STARKs' rolling hash binds both the sequenced transactions
+    and the state transition.  Tampering any sequenced tx changes the
+    payload, hence every chunk digest, hence the final public input."""
+
+    def __init__(self, chain):
+        self.chain = chain  # object with get_block_by_number(n, full_txs)
+
+    def execute(self, block_numbers: List[int], chain_id: int) -> ExecutionResult:
+        if not block_numbers:
+            raise ValueError("empty block list")
+        first = min(block_numbers)
+        parent = self.chain.get_block_by_number(first - 1, False)
+        if parent is None:
+            raise ValueError(f"parent block {first - 1} not found")
+        pre = _block_state_root(parent)
+        payload = b""
+        post = pre
+        for n in sorted(block_numbers):
+            blk = self.chain.get_block_by_number(n, True)
+            if blk is None:
+                raise ValueError(f"block {n} not found")
+            for tx in blk.get("transactions") or []:
+                payload += rlp.encode_legacy_tx(tx, chain_id)
+            post = _block_state_root(blk)
+        return ExecutionResult(pre + post + payload, pre, post)
 
 
 def bytes_to_field_elements(data: bytes) -> List[int]:
@@ -101,7 +158,7 @@ class BatchProver:
 
     def __init__(
         self,
-        executor: Optional[SyntheticExecutor] = None,
+        executor=None,  # ChainExecutor (node path) / SyntheticExecutor (tests)
         stark_params: Optional[stark.StarkParams] = None,
         groth16_seed: str = "ezt-groth16-dev",
         use_jit: bool = True,

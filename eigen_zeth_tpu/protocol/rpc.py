@@ -23,6 +23,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
+from ..ops import keccak
 from .kv import Database, PREFIX_BATCH_PROOF, ProofResult
 
 
@@ -32,17 +33,28 @@ class MockChain:
     def __init__(self):
         self._lock = threading.Lock()
         self._blocks = [
-            {"number": "0x0", "transactions": [], "timestamp": "0x0"}
+            {
+                "number": "0x0",
+                "transactions": [],
+                "timestamp": "0x0",
+                "stateRoot": "0x" + keccak.keccak256_host(b"mock-genesis").hex(),
+            }
         ]
 
     def add_block(self, transactions: Optional[list] = None, timestamp: int = 0):
         with self._lock:
             n = len(self._blocks)
+            # keccak-chained state root over the parent root + tx content,
+            # so tampering a stored tx breaks the chain binding
+            parent_root = bytes.fromhex(self._blocks[-1]["stateRoot"][2:])
+            content = json.dumps(transactions or [], sort_keys=True).encode()
+            root = keccak.keccak256_host(parent_root + content)
             self._blocks.append(
                 {
                     "number": hex(n),
                     "transactions": transactions or [],
                     "timestamp": hex(timestamp),
+                    "stateRoot": "0x" + root.hex(),
                 }
             )
             return n
@@ -125,6 +137,10 @@ class EigenRpcServer:
             return hex(self.chain.block_number())
         if method == "eth_getBlockByNumber":
             return self.chain.get_block_by_number(params[0], bool(params[1:]))
+        if method == "eth_sendTransaction":
+            if hasattr(self.chain, "send_raw_transaction"):
+                return self.chain.send_raw_transaction(params[0])
+            raise ValueError("chain does not accept transactions")
         raise ValueError(f"unknown method {method!r}")
 
     def start(self):

@@ -198,17 +198,27 @@ class Sequencer:
     def build_block(self, timestamp: Optional[int] = None) -> dict:
         allow = make_bridge_filter(self.filter_cfg)
         included: List[dict] = []
+        rejected: List[dict] = []  # permanently invalid: evict (mark_invalid analog)
         gas_used = 0
         for tx in self.pool.best_transactions():
+            if _tx_gas(tx) > BLOCK_GAS_LIMIT:
+                rejected.append(tx)  # can never fit any block
+                continue
             if gas_used + _tx_gas(tx) > BLOCK_GAS_LIMIT:
                 continue  # skip over-budget tx, keep scanning (mod.rs:575-592)
             if not allow(tx):
+                # bridge-filtered: deferred, not evicted — the per-block
+                # first-bridge-asset window reopens next block
                 continue
             if not self.ledger.execute(tx):
+                # execution failure: drop from the pool like reth's
+                # best_txs.mark_invalid (mod.rs:604-640 error path) —
+                # otherwise a failing tx is re-scanned every block forever
+                rejected.append(tx)
                 continue
             included.append(tx)
             gas_used += _tx_gas(tx)
-        self.pool.remove(included)
+        self.pool.remove(included + rejected)
 
         with self._lock:
             parent = self._blocks[-1]

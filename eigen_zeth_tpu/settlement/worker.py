@@ -105,33 +105,9 @@ class L2Watcher:
         return t
 
 
-def encode_legacy_tx(tx: dict, chain_id: int) -> bytes:
-    """worker.rs:425-449 + 477-554: EIP-155 signing RLP of the legacy tx
-    followed by v, r, s as decimal-string bytes."""
-    def _int(x, default=0):
-        if x is None:
-            return default
-        return int(x, 16) if isinstance(x, str) and x.startswith("0x") else int(x)
-
-    to = tx.get("to")
-    to_bytes = bytes.fromhex(to[2:]) if to else b""
-    payload = rlp.encode(
-        [
-            _int(tx.get("nonce")),
-            _int(tx.get("gasPrice")),
-            _int(tx.get("gas")),
-            to_bytes,
-            _int(tx.get("value")),
-            bytes.fromhex(tx.get("input", "0x")[2:]),
-            _int(tx.get("chainId"), chain_id),
-            0,
-            0,
-        ]
-    )
-    v = _int(tx.get("v"))
-    r = _int(tx.get("r"))
-    s = _int(tx.get("s"))
-    return payload + str(v).encode() + str(r).encode() + str(s).encode()
+# EIP-155 packing shared with the prover's chain executor (utils/rlp.py)
+# so the proofs bind exactly the bytes this worker submits on-chain.
+encode_legacy_tx = rlp.encode_legacy_tx
 
 
 class Settler:

@@ -1,7 +1,10 @@
 """RLP encoding (encode-only) — for legacy-transaction batch packing.
 
 Reference analog: the reth RLP wrappers in src/settlement/worker.rs:
-477-554 (EIP-155 signing payload of a legacy tx).
+477-554 (EIP-155 signing payload of a legacy tx).  encode_legacy_tx is
+the exact packing the reference's rollup worker submits on-chain
+(worker.rs:425-449) and is shared by the settlement worker and the
+prover's chain executor so proofs bind the same bytes that settle.
 """
 
 from __future__ import annotations
@@ -33,3 +36,34 @@ def _len_prefix(length: int, offset: int) -> bytes:
         return bytes([offset + length])
     lb = encode_int(length)
     return bytes([offset + 55 + len(lb)]) + lb
+
+
+def tx_int(x, default: int = 0) -> int:
+    """Coerce a JSON tx field (hex string / int / None) to int."""
+    if x is None:
+        return default
+    return int(x, 16) if isinstance(x, str) and x.startswith("0x") else int(x)
+
+
+def encode_legacy_tx(tx: dict, chain_id: int) -> bytes:
+    """worker.rs:425-449 + 477-554: EIP-155 signing RLP of the legacy tx
+    followed by v, r, s as decimal-string bytes."""
+    to = tx.get("to")
+    to_bytes = bytes.fromhex(to[2:]) if to else b""
+    payload = encode(
+        [
+            tx_int(tx.get("nonce")),
+            tx_int(tx.get("gasPrice")),
+            tx_int(tx.get("gas")),
+            to_bytes,
+            tx_int(tx.get("value")),
+            bytes.fromhex(tx.get("input", "0x")[2:]),
+            tx_int(tx.get("chainId"), chain_id),
+            0,
+            0,
+        ]
+    )
+    v = tx_int(tx.get("v"))
+    r = tx_int(tx.get("r"))
+    s = tx_int(tx.get("s"))
+    return payload + str(v).encode() + str(r).encode() + str(s).encode()

@@ -10,7 +10,7 @@ import pytest
 from eigen_zeth_tpu.models import stark
 from eigen_zeth_tpu.operator import Operator
 from eigen_zeth_tpu.protocol import kv, rpc, vectors
-from eigen_zeth_tpu.protocol.prover_service import BatchProver
+from eigen_zeth_tpu.protocol.prover_service import BatchProver, ChainExecutor
 from eigen_zeth_tpu.settlement import abi, proof_codec
 from eigen_zeth_tpu.settlement.interface import BatchData
 from eigen_zeth_tpu.settlement.mock import MockSettlement
@@ -106,7 +106,9 @@ def test_node_pipeline_end_to_end():
     reach Finalized with a pairing-verified Groth16 proof settled."""
     db = kv.MemDb()
     chain = rpc.MockChain()
-    prover = BatchProver(stark_params=FAST_STARK, use_jit=False)
+    prover = BatchProver(
+        executor=ChainExecutor(chain), stark_params=FAST_STARK, use_jit=False
+    )
     settlement = MockSettlement(verifying_key=prover.verifying_key)
     op = Operator(
         db=db,

@@ -157,11 +157,19 @@ class Sequencer:
     """Block producer + chain store; serves the chain-client interface the
     workers/RPC consume (block_number / get_block_by_number / add tx)."""
 
-    def __init__(self, tx_filter: Optional[TxFilterConfig] = None, chain_id: int = 12345):
+    def __init__(
+        self,
+        tx_filter: Optional[TxFilterConfig] = None,
+        chain_id: int = 12345,
+        verify_signatures: bool = False,
+    ):
         self.pool = Mempool()
         self.ledger = Ledger()
         self.filter_cfg = tx_filter or TxFilterConfig()
         self.chain_id = chain_id
+        # revm-style sender recovery (custom_reth/mod.rs:604-640 executes
+        # recovered txs); opt-in because dev tooling submits unsigned txs
+        self.verify_signatures = verify_signatures
         self._lock = threading.Lock()
         genesis_root = self.ledger.state_root()
         self._blocks: List[dict] = [
@@ -210,7 +218,18 @@ class Sequencer:
                 # bridge-filtered: deferred, not evicted — the per-block
                 # first-bridge-asset window reopens next block
                 continue
-            if not self.ledger.execute(tx):
+            exec_tx = tx
+            if self.verify_signatures:
+                from ..utils import ethtx
+
+                sender = ethtx.recover_sender(tx, self.chain_id)
+                if sender is None or (
+                    tx.get("from") and tx["from"].lower() != sender
+                ):
+                    rejected.append(tx)  # bad/forged signature: evict
+                    continue
+                exec_tx = dict(tx, **{"from": sender})
+            if not self.ledger.execute(exec_tx):
                 # execution failure: drop from the pool like reth's
                 # best_txs.mark_invalid (mod.rs:604-640 error path) —
                 # otherwise a failing tx is re-scanned every block forever

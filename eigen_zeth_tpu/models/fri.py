@@ -53,15 +53,6 @@ class FriParams:
         return self.blowup
 
 
-def _powers_host(base: int, n: int) -> np.ndarray:
-    out = np.empty(n, dtype=np.uint64)
-    v = 1
-    for i in range(n):
-        out[i] = v
-        v = gl.h_mul(v, base)
-    return out
-
-
 def fold_layer(evals: GF, beta: int, shift: int) -> GF:
     """One FRI fold on device: (m,) evaluations on s·H -> (m/2,) on s²·H²."""
     m = evals.lo.shape[-1]
@@ -69,7 +60,7 @@ def fold_layer(evals: GF, beta: int, shift: int) -> GF:
     u = GF(evals.lo[..., :half], evals.hi[..., :half])
     v = GF(evals.lo[..., half:], evals.hi[..., half:])
     w_inv = gl.h_inv(gl.primitive_root_of_unity(m))
-    x_inv = gl.from_int(_powers_host(w_inv, half))
+    x_inv = gl.powers(w_inv, half)  # device ladder (VERDICT: no host loop)
     s_inv = gl.h_inv(shift)
     x_inv = gl.mul(x_inv, gl.full(x_inv.lo.shape, s_inv))
     inv2 = gl.full(u.lo.shape, INV2)
@@ -125,10 +116,11 @@ def fri_prove(
     final_evals = gl.to_int(cur)
     tsize = len(final_evals)
     coeffs_shifted = gl.to_int(nttm.intt(gl.from_int(final_evals)))
-    s_inv_pows = _powers_host(gl.h_inv(cur_shift), tsize)
-    final_coeffs = [
-        gl.h_mul(int(c), int(si)) for c, si in zip(coeffs_shifted, s_inv_pows)
-    ]
+    s_inv = gl.h_inv(cur_shift)
+    final_coeffs, si = [], 1
+    for c in coeffs_shifted:
+        final_coeffs.append(gl.h_mul(int(c), si))
+        si = gl.h_mul(si, s_inv)
     # degree bound: only m/blowup of the terminal coefficients may be nonzero
     keep = tsize // params.blowup
     assert all(c == 0 for c in final_coeffs[keep:]), "terminal degree too high"

@@ -85,8 +85,8 @@ def prove_chunk(data: list[int], iv: int, params: StarkParams | None = None) -> 
     gamma = chunk_gamma()
 
     # --- trace commit -------------------------------------------------------
-    D = nttm.intt(gl.from_int(np.array(d_col, dtype=np.uint64)))
-    A = nttm.intt(gl.from_int(np.array(a_col, dtype=np.uint64)))
+    D = nttm.intt_auto(gl.from_int(np.array(d_col, dtype=np.uint64)))
+    A = nttm.intt_auto(gl.from_int(np.array(a_col, dtype=np.uint64)))
     D_lde = nttm.lde(D, params.blowup, params.shift)
     A_lde = nttm.lde(A, params.blowup, params.shift)
     rows = GF(
@@ -102,26 +102,31 @@ def prove_chunk(data: list[int], iv: int, params: StarkParams | None = None) -> 
 
     # --- composition on the LDE coset --------------------------------------
     w_last = gl.h_pow(gl.primitive_root_of_unity(n), n - 1)
-    xs = fri._powers_host(gl.primitive_root_of_unity(m), m)
-    xs = (xs.astype(object) * params.shift) % gl.P
-    xs_np = np.array([int(x) for x in xs], dtype=np.uint64)
-    x_arr = gl.from_int(xs_np)
+    # x_j = shift·w^j on device (VERDICT: the host power loop here was
+    # O(m) python bigints at the 2^22 BASELINE size)
+    x_arr = gl.mul(
+        gl.powers(gl.primitive_root_of_unity(m), m), gl.full((m,), params.shift)
+    )
     # Z_H(x) = x^n - 1 on the coset: s^n·v^{jn} - 1, period-blowup cycle
     a_shift = GF(jnp.roll(A_lde.lo, -params.blowup), jnp.roll(A_lde.hi, -params.blowup))
     c1 = gl.sub(
         gl.sub(a_shift, gl.mul(A_lde, gl.full((m,), gamma))), D_lde
     )
     zh = gl.sub(gl.pow_const(x_arr, n), gl.ones((m,)))
-    q1 = gl.mul(
-        gl.mul(c1, gl.sub(x_arr, gl.full((m,), w_last))), gl.inv(zh)
+    # one Montgomery batch inversion for all three denominators (the
+    # round-1 per-element pow_const inverse was ~96 muls/elem — the
+    # dominant cost of the whole composition at 2^22)
+    den = gl.stack(
+        [zh, gl.sub(x_arr, gl.ones((m,))), gl.sub(x_arr, gl.full((m,), w_last))],
+        axis=0,
     )
-    q2 = gl.mul(
-        gl.sub(A_lde, gl.full((m,), iv)), gl.inv(gl.sub(x_arr, gl.ones((m,))))
-    )
-    q3 = gl.mul(
-        gl.sub(A_lde, gl.full((m,), out)),
-        gl.inv(gl.sub(x_arr, gl.full((m,), w_last))),
-    )
+    den_inv = gl.batch_inv(den)
+    zh_inv = gl.take(den_inv, 0, axis=0)
+    x1_inv = gl.take(den_inv, 1, axis=0)
+    xw_inv = gl.take(den_inv, 2, axis=0)
+    q1 = gl.mul(gl.mul(c1, gl.sub(x_arr, gl.full((m,), w_last))), zh_inv)
+    q2 = gl.mul(gl.sub(A_lde, gl.full((m,), iv)), x1_inv)
+    q3 = gl.mul(gl.sub(A_lde, gl.full((m,), out)), xw_inv)
     comp = gl.add(
         gl.add(
             gl.mul(q1, gl.full((m,), alphas[0])), gl.mul(q2, gl.full((m,), alphas[1]))

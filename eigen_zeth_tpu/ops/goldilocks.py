@@ -198,6 +198,63 @@ def inv(a: GF) -> GF:
     return pow_const(a, P - 2)
 
 
+def batch_inv(a: GF) -> GF:
+    """Montgomery batch inversion along the last axis: ONE field
+    exponentiation + O(n) muls, vs pow_const's ~96 muls per element.
+
+      prefix_i = a_0…a_i,  suffix_i = a_i…a_{n-1}
+      1/a_i = prefix_{i-1} · suffix_{i+1} · 1/(a_0…a_{n-1})
+
+    Work-efficient associative scans keep everything on device.  All
+    inputs must be nonzero (the STARK uses this on coset denominators,
+    which never vanish on shift·H)."""
+    ax = a.lo.ndim - 1  # reverse=True requires a nonnegative axis
+    prefix = jax.lax.associative_scan(mul, a, axis=ax)
+    suffix = jax.lax.associative_scan(mul, a, axis=ax, reverse=True)
+    total = GF(prefix.lo[..., -1:], prefix.hi[..., -1:])
+    total_inv = inv(total)
+
+    def shift_fill_one(x: GF, up: bool) -> GF:
+        one = ones(x.lo.shape[:-1] + (1,))
+        if up:  # prefix_{i-1}: shift right, fill 1 at i=0
+            return GF(
+                jnp.concatenate([one.lo, x.lo[..., :-1]], axis=-1),
+                jnp.concatenate([one.hi, x.hi[..., :-1]], axis=-1),
+            )
+        return GF(  # suffix_{i+1}: shift left, fill 1 at i=n-1
+            jnp.concatenate([x.lo[..., 1:], one.lo], axis=-1),
+            jnp.concatenate([x.hi[..., 1:], one.hi], axis=-1),
+        )
+
+    excl = mul(shift_fill_one(prefix, True), shift_fill_one(suffix, False))
+    return mul(excl, GF(jnp.broadcast_to(total_inv.lo, excl.lo.shape),
+                        jnp.broadcast_to(total_inv.hi, excl.hi.shape)))
+
+
+def powers(base: int, n: int) -> GF:
+    """[base^0, …, base^(n-1)] built ON DEVICE: a doubling ladder — block
+    [2^k, 2^{k+1}) = block [0, 2^k) · base^(2^k) — is log2(n) full-width
+    vector muls (~n mul-slots total).  Replaces the O(n) host bigint
+    power loops VERDICT flagged (fri.py:56-62, stark.py:105-107: a
+    4M-iteration python loop at the 2^22 BASELINE size)."""
+    base %= P
+    if n <= 0:
+        return zeros((0,))
+    out = ones((1,))
+    step = base
+    size = 1
+    while size < n:
+        blk = min(size, n - size)
+        head = GF(out.lo[:blk], out.hi[:blk])
+        nxt = mul(head, full((blk,), step))
+        out = GF(
+            jnp.concatenate([out.lo, nxt.lo]), jnp.concatenate([out.hi, nxt.hi])
+        )
+        step = h_mul(step, step)
+        size += blk
+    return out
+
+
 def eq(a: GF, b: GF) -> jnp.ndarray:
     return (a.lo == b.lo) & (a.hi == b.hi)
 
@@ -254,6 +311,59 @@ def stack(parts: Sequence[GF], axis=0) -> GF:
 
 def h_mul(a: int, b: int) -> int:
     return (a * b) % P
+
+
+# --- vectorized numpy field mul (trace-safe twiddle/constant generation) ---
+
+_M32 = np.uint64(0xFFFFFFFF)
+_U32 = np.uint64(32)
+
+
+def np_mulmod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise (a·b) mod P on uint64 numpy arrays — 32-bit-limb
+    schoolbook + the 2^64 ≡ 2^32−1, 2^96 ≡ −1 Goldilocks fold.  Pure
+    numpy, so NTT-plan builders can call it inside a jit trace (device
+    arrays would leak tracers into the lru-cached plans — the round-2
+    regression behind test_ntt_sharded_matches_single)."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    al, ah = a & _M32, a >> _U32
+    bl, bh = b & _M32, b >> _U32
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    hh = ah * bh
+    mid = lh + hl  # may wrap
+    c1 = (mid < lh).astype(np.uint64)
+    mid_l = (mid & _M32) << _U32
+    lo = ll + mid_l  # may wrap
+    c2 = (lo < ll).astype(np.uint64)
+    hi = hh + (mid >> _U32) + (c1 << _U32) + c2  # exact, < 2^64
+    # fold t = hi·2^64 + lo:  t ≡ lo + hi_lo·(2^32−1) − hi_hi  (mod P)
+    hi_l, hi_h = hi & _M32, hi >> _U32
+    t0 = lo - hi_h
+    t0 = np.where(lo < hi_h, t0 - _M32, t0)  # borrow: wrap ≡ +P
+    t1 = hi_l * _M32
+    res = t0 + t1
+    res = np.where(res < t0, res + _M32, res)  # carry: wrap ≡ −P → re-add
+    return np.where(res >= np.uint64(P), res - np.uint64(P), res)
+
+
+def powers_np(base: int, n: int) -> np.ndarray:
+    """[base^0, …, base^(n-1)] mod P as numpy uint64 — the doubling
+    ladder (block [2^k, 2^{k+1}) = block · base^(2^k)) with np_mulmod:
+    log2(n) vectorized steps, no python bigint loop, trace-safe."""
+    base %= P
+    out = np.empty(max(n, 1), dtype=np.uint64)
+    out[0] = 1
+    step = base
+    size = 1
+    while size < n:
+        blk = min(size, n - size)
+        out[size : size + blk] = np_mulmod(out[:blk], np.uint64(step))
+        step = h_mul(step, step)
+        size += blk
+    return out[:n]
 
 
 def h_pow(a: int, e: int) -> int:

@@ -68,10 +68,7 @@ def make_plan(n: int, inverse: bool = False) -> NTTPlan:
         half = 1 << s
         # stage-s root has order 2^{s+1}: w_m = w^(n / 2^{s+1})
         wm = gl.h_pow(w, n >> (s + 1))
-        powers = [1] * half
-        for j in range(1, half):
-            powers[j] = gl.h_mul(powers[j - 1], wm)
-        tw.append(gl.from_int_np(np.array(powers, dtype=np.uint64)))
+        tw.append(gl.from_int_np(gl.powers_np(wm, half)))
     # numpy leaves: plans are lru-cached and must stay trace-safe
     scale = gl.from_int_np(np.uint64(gl.h_inv(n))) if inverse else None
     return NTTPlan(n=n, bitrev=_bit_reverse_indices(n), tw=tuple(tw), scale=scale)
@@ -142,13 +139,14 @@ def make_four_step_plan(n: int, rows: int, inverse: bool = False) -> FourStepPla
     w = gl.primitive_root_of_unity(n)
     if inverse:
         w = gl.h_inv(w)
-    # twiddle[k1, j2] = w^{k1*j2}
-    tw = np.empty((rows, cols), dtype=np.uint64)
-    wr = [gl.h_pow(w, int(i)) for i in range(cols)]  # w^{j2}
-    row_val = [1] * cols  # w^{k1*j2} built by repeated mul down the rows
-    for r in range(rows):
-        tw[r, :] = np.array(row_val, dtype=np.uint64)
-        row_val = [gl.h_mul(v, wj) for v, wj in zip(row_val, wr)]
+    # twiddle[k1, j2] = w^{k1·j2}: all needed exponents are < R·C = n, so
+    # one numpy powers ladder + a gather builds the matrix with zero host
+    # bigint muls (round 1 looped O(n) python mults).  numpy, NOT device:
+    # plans are lru-cached and may be built inside a jit trace — device
+    # arrays here would leak tracers (the test_ntt_sharded regression).
+    pw = gl.powers_np(w, n)  # (n,) uint64
+    idx = np.outer(np.arange(rows, dtype=np.int64), np.arange(cols, dtype=np.int64))
+    tw = pw[idx]
     scale = gl.from_int_np(np.uint64(gl.h_inv(n))) if inverse else None
     return FourStepPlan(
         n=n,
@@ -221,13 +219,32 @@ def coset_shift(x: GF, shift: int, inverse: bool = False) -> GF:
     """Multiply coefficient j by shift^j (evaluate on the coset shift·H)."""
     n = x.lo.shape[-1]
     s = gl.h_inv(shift) if inverse else shift % gl.P
-    powers = np.empty(n, dtype=np.uint64)
-    v = 1
-    for j in range(n):
-        powers[j] = v
-        v = gl.h_mul(v, s)
-    p = gl.from_int_np(powers)
+    p = gl.powers(s, n)  # device ladder, no host loop
     return gl.mul(x, _bcast(p, x))
+
+
+# above this size the flat radix-2 graph (concat-heavy, O(n) host plan
+# build) loses to the four-step (R, C) decomposition
+FOUR_STEP_MIN = 1 << 14
+
+
+def _four_step_rows(n: int) -> int:
+    return 1 << ((n - 1).bit_length() // 2)
+
+
+def ntt_auto(x: GF, inverse: bool = False) -> GF:
+    """Size-adaptive NTT along the last axis: flat radix-2 for small n,
+    four-step for production sizes (2^14+)."""
+    n = x.lo.shape[-1]
+    if n >= FOUR_STEP_MIN:
+        plan = make_four_step_plan(n, _four_step_rows(n), inverse)
+        return ntt_four_step(x, plan)
+    plan = make_plan(n, inverse)
+    return intt(x, plan) if inverse else ntt(x, plan)
+
+
+def intt_auto(x: GF) -> GF:
+    return ntt_auto(x, inverse=True)
 
 
 def lde(coeffs: GF, blowup: int, shift: int = gl.MULTIPLICATIVE_GENERATOR) -> GF:
@@ -237,7 +254,7 @@ def lde(coeffs: GF, blowup: int, shift: int = gl.MULTIPLICATIVE_GENERATOR) -> GF
     m = n * blowup
     pad = [(0, 0)] * (coeffs.lo.ndim - 1) + [(0, m - n)]
     padded = GF(jnp.pad(coeffs.lo, pad), jnp.pad(coeffs.hi, pad))
-    return ntt(coset_shift(padded, shift), make_plan(m))
+    return ntt_auto(coset_shift(padded, shift))
 
 
 def poly_mul(a: GF, b: GF) -> GF:

@@ -138,3 +138,43 @@ def test_roots_of_unity():
         w = gl.primitive_root_of_unity(order)
         assert pow(w, order, gl.P) == 1
         assert pow(w, order // 2, gl.P) == gl.P - 1  # primitive
+
+
+def test_np_mulmod_fuzz():
+    """Vectorized numpy field mul == python bigint mul, incl. edge values
+    (the trace-safe twiddle builder behind every NTT plan)."""
+    rng = np.random.default_rng(0x60D)
+    a = rng.integers(0, gl.P, size=4096, dtype=np.uint64)
+    b = rng.integers(0, gl.P, size=4096, dtype=np.uint64)
+    edge = np.array(
+        [0, 1, 2, gl.P - 1, gl.P - 2, (1 << 32) - 1, 1 << 32, (1 << 63)],
+        dtype=np.uint64,
+    )
+    a[: len(edge)] = edge
+    b[: len(edge)] = edge[::-1]
+    got = gl.np_mulmod(a, b)
+    for x, y, g in zip(a.tolist(), b.tolist(), got.tolist()):
+        assert g == (x * y) % gl.P, (x, y)
+
+
+def test_powers_np_matches_pow():
+    w = gl.primitive_root_of_unity(1 << 12)
+    got = gl.powers_np(w, 1 << 12)
+    assert got[0] == 1 and got[1] == w
+    idx = [2, 3, 100, 4095]
+    for i in idx:
+        assert int(got[i]) == pow(w, i, gl.P)
+
+
+def test_powers_device_matches_np():
+    w = gl.primitive_root_of_unity(1 << 10)
+    dev = gl.to_int(gl.powers(w, 1000))
+    np.testing.assert_array_equal(dev, gl.powers_np(w, 1000))
+
+
+def test_batch_inv_matches_inv():
+    a = _rand_gf_ints(256)
+    a[a == 0] = 1
+    got = gl.to_int(gl.batch_inv(gl.from_int(a)))
+    for x, ix in zip(a.tolist(), got.tolist()):
+        assert (x * ix) % gl.P == 1

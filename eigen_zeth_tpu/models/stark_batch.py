@@ -1,0 +1,400 @@
+"""Batched chunk-STARK prover — data-parallel over the mesh's chunk axis.
+
+VERDICT round-1 item 5: `gen_chunk_proof` proved chunks in a serial
+python loop on one device; the `chunk` mesh axis existed but the real
+prover never used it.  This module proves K chunks AT ONCE: every heavy
+phase operates on arrays with a leading chunk axis K, so sharding that
+axis over `jax.sharding.Mesh('chunk')` gives true multi-device chunk DP
+with zero code changes — XLA partitions the (K, …) programs, and there
+is no cross-chunk communication to insert (chunk proofs are independent;
+the reference's analog fans chunks out to separate prover processes,
+proto/prover/v1/prover.proto:102-111).
+
+Phase structure (host transcript logic between jitted device phases,
+exactly mirroring models/stark.prove_chunk so the emitted proofs are
+BIT-IDENTICAL to the serial prover's — tested in
+tests/test_stark_batch.py):
+
+  trace    rolling hash as a parallel prefix: a_i = γ^i·(iv + Σ_{j<i}
+           d_j·γ^{-(j+1)}) — one associative_scan + two wide muls,
+           replacing the serial O(n) host recurrence; then batched
+           INTT/LDE along the last axis and a batched Merkle commit.
+  compose  identical wide ops with per-chunk (K,1) broadcasts of
+           iv/out/alphas; one Montgomery batch inversion.
+  fri      per-layer: batched commit -> K roots -> per-chunk transcript
+           betas -> batched fold with a (K,1) beta vector.
+  queries  per-chunk host loops over O(queries·log m) openings (pure
+           index math on levels already pulled once per phase).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import goldilocks as gl
+from ..ops import ntt as nttm
+from ..ops import poseidon
+from ..ops.goldilocks import GF
+from . import fri, merkle
+from .fri import INV2, FriProverOutput
+from .poseidon_tags import chunk_gamma
+from .stark import StarkParams
+from .transcript import Transcript
+
+
+def _bc(c: GF, like: GF) -> GF:
+    return GF(jnp.broadcast_to(c.lo, like.lo.shape),
+              jnp.broadcast_to(c.hi, like.hi.shape))
+
+
+# ---------------------------------------------------------------------------
+# batched Merkle: one device program commits K same-shape trees
+
+
+def commit_leaves_batched(
+    leaves: GF, prefer_host: bool | None = None
+) -> List[merkle.MerkleTree]:
+    """(K, N, k) leaf rows -> K Merkle trees (device levels, per-chunk
+    views).  Same digests as K serial merkle.commit_leaves calls.
+
+    prefer_host mirrors merkle.commit_leaves: host Poseidon on CPU
+    backends (the batched device graph is compile-prohibitive for XLA
+    CPU), one batched device program on TPU."""
+    K, N = leaves.lo.shape[0], leaves.lo.shape[1]
+    assert N & (N - 1) == 0
+    if prefer_host is None:
+        prefer_host = jax.default_backend() == "cpu"
+    if prefer_host:
+        return [
+            merkle._commit_leaves_host(GF(leaves.lo[k], leaves.hi[k]))
+            for k in range(K)
+        ]
+    levels = _commit_batched_device(leaves.lo, leaves.hi)
+    trees = []
+    for k in range(K):
+        trees.append(
+            merkle.MerkleTree(levels=[GF(l.lo[k], l.hi[k]) for l in levels])
+        )
+    return trees
+
+
+@jax.jit
+def _commit_batched_device(lo, hi):
+    digests = poseidon.hash_elements(GF(lo, hi))  # (K, N, 4)
+    levels = [digests]
+    cur = digests
+    while cur.lo.shape[1] > 1:
+        even = GF(cur.lo[:, 0::2], cur.hi[:, 0::2])
+        odd = GF(cur.lo[:, 1::2], cur.hi[:, 1::2])
+        cur = poseidon.hash_two(even, odd)
+        levels.append(cur)
+    return levels
+
+
+# ---------------------------------------------------------------------------
+# jitted device phases
+
+
+@functools.partial(jax.jit, static_argnames=("n", "blowup", "gamma", "shift"))
+def _trace_phase(d_lo, d_hi, iv_lo, iv_hi, *, n, blowup, gamma, shift):
+    """(K, n) data + (K,) iv -> A/D LDEs, (K, m, 2) leaf rows, (K,) out.
+
+    Rolling hash a_{i+1} = a_i·γ + d_i as a parallel prefix (docstring at
+    module top) — no sequential recurrence anywhere."""
+    d = GF(d_lo, d_hi)
+    iv = GF(iv_lo[:, None], iv_hi[:, None])  # (K, 1)
+    g_inv = gl.h_inv(gamma)
+    gpow = gl.powers(gamma, n)  # (n,)
+    # γ^{-(j+1)} = γ^{-1} · (γ^{-1})^j
+    ginvp = gl.mul(gl.powers(g_inv, n), gl.full((n,), g_inv))
+    u = gl.mul(d, _bc(ginvp, d))  # (K, n)
+    incl = jax.lax.associative_scan(gl.add, u, axis=1)
+    zero = gl.zeros((d.lo.shape[0], 1))
+    excl = GF(
+        jnp.concatenate([zero.lo, incl.lo[:, :-1]], axis=1),
+        jnp.concatenate([zero.hi, incl.hi[:, :-1]], axis=1),
+    )
+    a = gl.mul(_bc(gpow, d), gl.add(_bc(iv, d), excl))  # (K, n)
+    out = GF(a.lo[:, -1], a.hi[:, -1])  # (K,)
+
+    D = nttm.intt_auto(d)
+    A = nttm.intt_auto(a)
+    D_lde = nttm.lde(D, blowup, shift)
+    A_lde = nttm.lde(A, blowup, shift)
+    rows = GF(
+        jnp.stack([A_lde.lo, D_lde.lo], axis=2),
+        jnp.stack([A_lde.hi, D_lde.hi], axis=2),
+    )  # (K, m, 2)
+    return A_lde, D_lde, rows, out
+
+
+@functools.partial(jax.jit, static_argnames=("n", "blowup", "gamma", "shift"))
+def _composition_phase(
+    A_lde, D_lde, alphas_lo, alphas_hi, iv_lo, iv_hi, out_lo, out_hi,
+    *, n, blowup, gamma, shift,
+):
+    """Per-chunk composition C = α1·Q1 + α2·Q2 + α3·Q3 on the LDE coset,
+    (K, m) wide with (K, 1) broadcasts; one batch inversion for all three
+    denominators (same math as stark.prove_chunk)."""
+    m = n * blowup
+    alphas = GF(alphas_lo, alphas_hi)  # (K, 3)
+    iv = GF(iv_lo[:, None], iv_hi[:, None])
+    out = GF(out_lo[:, None], out_hi[:, None])
+    w_last = gl.h_pow(gl.primitive_root_of_unity(n), n - 1)
+    x_arr = gl.mul(
+        gl.powers(gl.primitive_root_of_unity(m), m), gl.full((m,), shift)
+    )  # (m,)
+    a_shift = GF(jnp.roll(A_lde.lo, -blowup, axis=1),
+                 jnp.roll(A_lde.hi, -blowup, axis=1))
+    c1 = gl.sub(
+        gl.sub(a_shift, gl.mul(A_lde, _bc(gl.full((1,), gamma), A_lde))), D_lde
+    )
+    zh = gl.sub(gl.pow_const(x_arr, n), gl.ones((m,)))  # (m,)
+    den = gl.stack(
+        [zh, gl.sub(x_arr, gl.ones((m,))), gl.sub(x_arr, gl.full((m,), w_last))],
+        axis=0,
+    )  # (3, m)
+    den_inv = gl.batch_inv(den)
+    zh_inv = gl.take(den_inv, 0, axis=0)
+    x1_inv = gl.take(den_inv, 1, axis=0)
+    xw_inv = gl.take(den_inv, 2, axis=0)
+    xw = gl.sub(x_arr, gl.full((m,), w_last))
+    q1 = gl.mul(gl.mul(c1, _bc(xw, c1)), _bc(zh_inv, c1))
+    q2 = gl.mul(gl.sub(A_lde, _bc(iv, A_lde)), _bc(x1_inv, A_lde))
+    q3 = gl.mul(gl.sub(A_lde, _bc(out, A_lde)), _bc(xw_inv, A_lde))
+    a1 = GF(alphas.lo[:, 0:1], alphas.hi[:, 0:1])
+    a2 = GF(alphas.lo[:, 1:2], alphas.hi[:, 1:2])
+    a3 = GF(alphas.lo[:, 2:3], alphas.hi[:, 2:3])
+    comp = gl.add(
+        gl.add(gl.mul(q1, _bc(a1, q1)), gl.mul(q2, _bc(a2, q2))),
+        gl.mul(q3, _bc(a3, q3)),
+    )
+    return comp  # (K, m)
+
+
+@jax.jit
+def _fold_phase(cur_lo, cur_hi, beta_lo, beta_hi, shift_lo, shift_hi):
+    """Batched FRI fold: (K, size) -> (K, size/2) with per-chunk β and a
+    per-chunk current shift s (all chunks share s in practice, but the
+    math is per-chunk for generality).  Matches fri.fold_layer."""
+    cur = GF(cur_lo, cur_hi)
+    beta = GF(beta_lo[:, None], beta_hi[:, None])
+    s_inv = GF(shift_lo[:, None], shift_hi[:, None])  # 1/s precomputed
+    m = cur.lo.shape[-1]
+    half = m // 2
+    u = GF(cur.lo[..., :half], cur.hi[..., :half])
+    v = GF(cur.lo[..., half:], cur.hi[..., half:])
+    w_inv = gl.h_inv(gl.primitive_root_of_unity(m))
+    x_inv = gl.powers(w_inv, half)  # (half,)
+    x_inv = gl.mul(_bc(x_inv, u), _bc(s_inv, u))
+    inv2 = gl.full((half,), INV2)
+    even = gl.mul(gl.add(u, v), _bc(inv2, u))
+    odd = gl.mul(gl.mul(gl.mul(gl.sub(u, v), _bc(inv2, u)), x_inv), _bc(beta, u))
+    return gl.add(even, odd)
+
+
+# ---------------------------------------------------------------------------
+# batched FRI commit/open
+
+
+def fri_prove_batched(
+    evals: GF, shift: int, transcripts: List[Transcript], params: fri.FriParams
+) -> List[FriProverOutput]:
+    """K simultaneous FRI proofs over (K, m) evaluations.  Transcript
+    interaction is per chunk; folds and Merkle commits are batched."""
+    K, m = evals.lo.shape
+    assert m & (m - 1) == 0
+    layers = []  # per layer: (trees, u (K, half) host, v host)
+    roots_all = [[] for _ in range(K)]
+    betas_all = [[] for _ in range(K)]
+    cur = evals
+    cur_shift = shift
+    while cur.lo.shape[-1] > params.terminal_size:
+        size = cur.lo.shape[-1]
+        half = size // 2
+        u = GF(cur.lo[:, :half], cur.hi[:, :half])
+        v = GF(cur.lo[:, half:], cur.hi[:, half:])
+        leaves = GF(
+            jnp.stack([u.lo, v.lo], axis=2), jnp.stack([u.hi, v.hi], axis=2)
+        )  # (K, half, 2)
+        trees = commit_leaves_batched(leaves)
+        betas = []
+        for k in range(K):
+            root = trees[k].root()
+            transcripts[k].absorb("fri-root", root)
+            roots_all[k].append(root)
+            b = transcripts[k].challenge("fri-beta")
+            betas.append(b)
+            betas_all[k].append(b)
+        # keep u/v on device; queries pull O(queries·log m) single
+        # elements, not the full (K, half) layers
+        layers.append((trees, u, v))
+        beta_arr = gl.from_int(np.array(betas, dtype=np.uint64))
+        sinv = gl.from_int(
+            np.full(K, gl.h_inv(cur_shift), dtype=np.uint64)
+        )
+        cur = _fold_phase(cur.lo, cur.hi, beta_arr.lo, beta_arr.hi,
+                          sinv.lo, sinv.hi)
+        cur_shift = gl.h_mul(cur_shift, cur_shift)
+
+    # terminal layer: batched INTT, per-chunk host unshift + degree check
+    tsize = cur.lo.shape[-1]
+    coeffs_shifted = gl.to_int(nttm.intt(cur))  # (K, tsize)
+    s_inv = gl.h_inv(cur_shift)
+    keep = tsize // params.blowup
+    outs = []
+    for k in range(K):
+        final_coeffs, si = [], 1
+        for c in coeffs_shifted[k]:
+            final_coeffs.append(gl.h_mul(int(c), si))
+            si = gl.h_mul(si, s_inv)
+        assert all(c == 0 for c in final_coeffs[keep:]), "terminal degree too high"
+        final_coeffs = final_coeffs[:keep]
+        transcripts[k].absorb("fri-final", final_coeffs)
+        indices = transcripts[k].challenge_indices(
+            "fri-query", params.num_queries, m // 2
+        )
+        queries = []
+        for idx in indices:
+            j = idx
+            layer_openings = []
+            for trees, u_dev, v_dev in layers:
+                half = u_dev.lo.shape[-1]
+                jj = j % half
+                layer_openings.append(
+                    {
+                        "u": str(int(gl.to_int(GF(u_dev.lo[k, jj], u_dev.hi[k, jj])))),
+                        "v": str(int(gl.to_int(GF(v_dev.lo[k, jj], v_dev.hi[k, jj])))),
+                        "path": [[str(x) for x in d] for d in trees[k].open(jj)],
+                    }
+                )
+                j = jj
+            queries.append({"index": idx, "layers": layer_openings})
+        proof = {
+            "domain_size": m,
+            "shift": str(shift),
+            "roots": [[str(x) for x in r] for r in roots_all[k]],
+            "final_coeffs": [str(c) for c in final_coeffs],
+            "queries": queries,
+        }
+        outs.append(FriProverOutput(proof=proof, layer0_indices=indices))
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# the batched prover
+
+
+def prove_chunks(
+    datas: List[List[int]],
+    ivs: List[int],
+    params: StarkParams | None = None,
+    n: int | None = None,
+    mesh=None,
+) -> List[dict]:
+    """Prove K chunks at once; returns proof dicts bit-identical to
+    [stark.prove_chunk(d, iv) for d, iv in zip(datas, ivs)].
+
+    All chunks are padded to a common trace size n (default: the size the
+    serial prover would pick for the largest chunk).
+
+    mesh: a jax.sharding.Mesh with a 'chunk' axis — inputs are placed
+    with the K axis sharded over it, so every jitted phase partitions
+    across devices (true chunk data-parallelism: each device proves its
+    own chunks; there is no cross-chunk communication for XLA to insert)."""
+    params = params or StarkParams()
+    K = len(datas)
+    assert K >= 1 and len(ivs) == K
+    gamma = chunk_gamma()
+    if n is None:
+        longest = max(len(d) for d in datas)
+        n = max(4, 1 << longest.bit_length())
+    assert all(len(d) <= n - 1 for d in datas)
+    m = n * params.blowup
+
+    d_np = np.zeros((K, n), dtype=np.uint64)
+    for k, d in enumerate(datas):
+        for i, x in enumerate(d):
+            d_np[k, i] = int(x) % gl.P
+    iv_np = np.array([iv % gl.P for iv in ivs], dtype=np.uint64)
+    d_arr = gl.from_int(d_np)
+    iv_arr = gl.from_int(iv_np)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import CHUNK_AXIS
+
+        assert K % mesh.shape[CHUNK_AXIS] == 0, (
+            f"K={K} chunks must divide the {mesh.shape[CHUNK_AXIS]}-way chunk axis"
+        )
+        sh2 = NamedSharding(mesh, P(CHUNK_AXIS, None))
+        sh1 = NamedSharding(mesh, P(CHUNK_AXIS))
+        d_arr = GF(jax.device_put(d_arr.lo, sh2), jax.device_put(d_arr.hi, sh2))
+        iv_arr = GF(jax.device_put(iv_arr.lo, sh1), jax.device_put(iv_arr.hi, sh1))
+
+    A_lde, D_lde, rows, out_arr = _trace_phase(
+        d_arr.lo, d_arr.hi, iv_arr.lo, iv_arr.hi,
+        n=n, blowup=params.blowup, gamma=gamma, shift=params.shift,
+    )
+    outs = [int(v) for v in gl.to_int(out_arr)]
+    trees = commit_leaves_batched(rows)
+
+    transcripts = []
+    alphas = np.zeros((K, 3), dtype=np.uint64)
+    for k in range(K):
+        t = Transcript("ezt-chunk-stark")
+        t.absorb("public", [n, ivs[k] % gl.P, outs[k], gamma])
+        t.absorb("trace-root", trees[k].root())
+        alphas[k] = t.challenges("alpha", 3)
+        transcripts.append(t)
+    al = gl.from_int(alphas)
+
+    comp = _composition_phase(
+        A_lde, D_lde, al.lo, al.hi, iv_arr.lo, iv_arr.hi,
+        out_arr.lo, out_arr.hi,
+        n=n, blowup=params.blowup, gamma=gamma, shift=params.shift,
+    )
+
+    fri_outs = fri_prove_batched(comp, params.shift, transcripts,
+                                 params.fri_params())
+
+    # per-chunk trace openings (host index math over the committed rows)
+    rows_host = gl.to_int(rows)  # (K, m, 2)
+    proofs = []
+    for k in range(K):
+        openings = []
+        for jj in fri_outs[k].layer0_indices:
+            idxs = [jj, (jj + params.blowup) % m, jj + m // 2,
+                    (jj + m // 2 + params.blowup) % m]
+            rows_open = []
+            for i in idxs:
+                rows_open.append(
+                    {
+                        "index": i,
+                        "row": [str(int(x)) for x in rows_host[k, i]],
+                        "path": [[str(x) for x in p] for p in trees[k].open(i)],
+                    }
+                )
+            openings.append(rows_open)
+        proofs.append(
+            {
+                "version": 1,
+                "n": n,
+                "blowup": params.blowup,
+                "shift": str(params.shift),
+                "public": {
+                    "iv": str(ivs[k] % gl.P),
+                    "out": str(outs[k]),
+                    "gamma": str(gamma),
+                },
+                "trace_root": [str(x) for x in trees[k].root()],
+                "fri": fri_outs[k].proof,
+                "trace_openings": openings,
+            }
+        )
+    return proofs

@@ -484,48 +484,41 @@ def g1_window_sums_fast(
         identity = _tmap(jnp.zeros_like, shifted)
         inflow = G.select(connected, shifted, identity)
 
-        # --- phase 3: correct the one cross-lane segment end per lane -----
-        rows_sc = jnp.concatenate(
-            [jnp.transpose(l, (2, 3, 0, 1)) for l in scanned], axis=-1
-        )  # (g, C, S, 3L) row-major scanned values
-        ff = jnp.argmax(fr, axis=-1)  # first real flag per lane (0 if none)
-        t_idx = jnp.where(has_flag, jnp.maximum(ff, 1) - 1, S_ - 1).astype(jnp.int32)
-        next_start = jnp.concatenate(
-            [fr[:, 1:, 0], jnp.ones((g, 1), bool)], axis=1
-        )
-        # the gathered position is a real segment END only in these cases
-        valid = (has_flag & (ff > 0)) | (~has_flag & next_start)
-        t4 = jnp.broadcast_to(t_idx[:, :, None, None], (g, C, 1, 3 * L))
-        g_rows = jnp.take_along_axis(rows_sc, t4, axis=2)[:, :, 0, :]  # (g, C, 3L)
-        g_pl = jnp.transpose(g_rows, (2, 0, 1))  # (3L, g, C)
-        gathered = PointJ(g_pl[:L], g_pl[L : 2 * L], g_pl[2 * L :])
-        corrected = G.add(gathered, inflow)
-        corr_rows = jnp.transpose(
-            jnp.concatenate(list(corrected), axis=0), (1, 2, 0)
-        )  # (g, C, 3L)
-        write_rows = jnp.where(valid[..., None], corr_rows, g_rows)
-        rows_flat = rows_sc.reshape(g, n, 3 * L)
-        flat_pos = idx_c[None, :] * S_ + t_idx  # (g, C)
-        rows_flat = rows_flat.at[jnp.arange(g)[:, None], flat_pos].set(write_rows)
-
-        # --- buckets: histogram + cumsum -> end position per bucket -------
+        # --- buckets: gather each bucket's segment-end sum directly -------
+        # (replaces the round-2-draft phase 3, which materialised and
+        # scatter-corrected a (g, n, 3L) row copy of the whole scanned
+        # array — ~300 ms of pure HBM shuffling at 2^18; the profile in
+        # scripts/prof_msm2.py showed the EC math itself is ~50 ms)
         hist = jnp.zeros((g, B + 1), jnp.int32).at[
             jnp.arange(g)[:, None], mag_s
-        ].add(1)
-        pos = jnp.cumsum(hist, axis=1) - 1  # (g, B+1); -1 = bucket range empty
+        ].add(1)  # (g, B+1)
+        pos = jnp.cumsum(hist, axis=1) - 1  # inclusive end of bucket b
+        present = hist > 0
         pos_c = jnp.maximum(pos, 0)
-        e_rows = jnp.take_along_axis(
-            rows_flat, jnp.broadcast_to(pos_c[:, :, None], (g, B + 1, 3 * L)), axis=1
-        )  # (g, B+1, 3L)
-        mag_at = jnp.take_along_axis(mag_s, pos_c, axis=1)
-        present = (mag_at == jnp.arange(B + 1, dtype=jnp.uint32)[None, :]) & (pos >= 0)
-        e_pl = jnp.transpose(e_rows, (2, 0, 1))  # (3L, g, B+1)
-        ez = jnp.where(present, e_pl[2 * L :], jnp.uint32(0))
-        E = PointJ(e_pl[:L, ..., 1:], e_pl[L : 2 * L, ..., 1:], ez[..., 1:])
+        end_lane = (pos_c // S_).astype(jnp.int32)  # (g, B+1)
+        end_step = (pos_c % S_).astype(jnp.int32)
+        start = pos_c - hist + 1  # first sorted index of bucket b
+        g_idx = jnp.arange(g)[:, None]
+        # scanned leaves are (S, L, g, C): pick [end_step, :, g, end_lane]
+        # -> (g, B+1, L) -> (L, g, B+1)
+        val = _tmap(
+            lambda l: jnp.moveaxis(l[end_step, :, g_idx, end_lane], -1, 0),
+            scanned,
+        )
+        # a bucket whose segment crosses its end-lane's start needs that
+        # lane's inflow (phase 2) added; inflow leaves are (L, g, C)
+        inflow_b = _tmap(lambda l: l[:, g_idx, end_lane], inflow)
+        needs = present & (start < end_lane * S_)
+        identity = _tmap(jnp.zeros_like, inflow_b)
+        corrected = G.add(val, G.select(needs, inflow_b, identity))
+        ez = jnp.where(present, corrected.z, jnp.uint32(0))
+        E = PointJ(corrected.x[..., 1:], corrected.y[..., 1:], ez[..., 1:])
 
         # --- reduce: S_w = sum_b b*B_b via suffix + total scans -----------
-        suffix = _hs_scan(G, E, reverse=True, eager=eager)
-        window_sums.append(_scan_total(G, suffix, eager=eager))
+        # blocked O(B) schedules (~2B adds each) instead of Hillis-Steele
+        # (B·log2 B): at c=13 this is ~5x fewer bucket adds per window
+        suffix = _blocked_scan(G, E, reverse=True, serial=serial, eager=eager)
+        window_sums.append(_scan_total(G, suffix, serial=serial, eager=eager))
 
     S = _tmap(lambda *ls: jnp.concatenate(ls, axis=-1), *window_sums)
     return S, bad_any

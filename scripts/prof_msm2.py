@@ -96,38 +96,26 @@ def prefix(stop):
         inflow = G.select(connected, shifted, identity)
         if stop == "phase2":
             return checksum((inflow, scanned))
-        rows_sc = jnp.concatenate(
-            [jnp.transpose(l, (2, 3, 0, 1)) for l in scanned], axis=-1
-        )
-        ff = jnp.argmax(fr, axis=-1)
-        t_idx = jnp.where(has_flag, jnp.maximum(ff, 1) - 1, S_ - 1).astype(jnp.int32)
-        next_start = jnp.concatenate([fr[:, 1:, 0], jnp.ones((gg, 1), bool)], axis=1)
-        valid = (has_flag & (ff > 0)) | (~has_flag & next_start)
-        t4 = jnp.broadcast_to(t_idx[:, :, None, None], (gg, C, 1, 3 * L))
-        g_rows = jnp.take_along_axis(rows_sc, t4, axis=2)[:, :, 0, :]
-        g_pl = jnp.transpose(g_rows, (2, 0, 1))
-        gathered = PointJ(g_pl[:L], g_pl[L : 2 * L], g_pl[2 * L :])
-        corrected = G.add(gathered, inflow)
-        corr_rows = jnp.transpose(jnp.concatenate(list(corrected), axis=0), (1, 2, 0))
-        write_rows = jnp.where(valid[..., None], corr_rows, g_rows)
-        rows_flat = rows_sc.reshape(gg, n, 3 * L)
-        flat_pos = idx_c[None, :] * S_ + t_idx
-        rows_flat = rows_flat.at[jnp.arange(gg)[:, None], flat_pos].set(write_rows)
-        if stop == "phase3":
-            return checksum(rows_flat)
         hist = jnp.zeros((gg, B + 1), jnp.int32).at[
             jnp.arange(gg)[:, None], mag_s
         ].add(1)
         pos = jnp.cumsum(hist, axis=1) - 1
+        present = hist > 0
         pos_c = jnp.maximum(pos, 0)
-        e_rows = jnp.take_along_axis(
-            rows_flat, jnp.broadcast_to(pos_c[:, :, None], (gg, B + 1, 3 * L)), axis=1
+        end_lane = (pos_c // S_).astype(jnp.int32)
+        end_step = (pos_c % S_).astype(jnp.int32)
+        start = pos_c - hist + 1
+        g_idx = jnp.arange(gg)[:, None]
+        val = msm._tmap(
+            lambda l: jnp.moveaxis(l[end_step, :, g_idx, end_lane], -1, 0),
+            scanned,
         )
-        mag_at = jnp.take_along_axis(mag_s, pos_c, axis=1)
-        present = (mag_at == jnp.arange(B + 1, dtype=jnp.uint32)[None, :]) & (pos >= 0)
-        e_pl = jnp.transpose(e_rows, (2, 0, 1))
-        ez = jnp.where(present, e_pl[2 * L :], jnp.uint32(0))
-        E = PointJ(e_pl[:L, ..., 1:], e_pl[L : 2 * L, ..., 1:], ez[..., 1:])
+        inflow_b = msm._tmap(lambda l: l[:, g_idx, end_lane], inflow)
+        needs = present & (start < end_lane * S_)
+        identity = msm._tmap(jnp.zeros_like, inflow_b)
+        corrected = G.add(val, G.select(needs, inflow_b, identity))
+        ez = jnp.where(present, corrected.z, jnp.uint32(0))
+        E = PointJ(corrected.x[..., 1:], corrected.y[..., 1:], ez[..., 1:])
         if stop == "buckets":
             return checksum(E)
         suffix = msm._hs_scan(G, E, reverse=True)
@@ -139,7 +127,7 @@ def prefix(stop):
 
 STAGES = [
     "digits", "sort", "gather", "layout", "phase1",
-    "phase2", "phase3", "buckets", "reduce",
+    "phase2", "buckets", "reduce",
 ]
 
 prev = 0.0

@@ -191,6 +191,26 @@ def fri_verify(
     if len(proof["queries"]) != len(indices):
         return False, []
     layer0 = []
+    if not roots:
+        # zero-layer FRI (m <= terminal_size): the terminal polynomial IS
+        # the committed function; queried pair evaluations come from it
+        # directly (leaf j of layer 0 holds (f(x_j), f(-x_j)))
+        w = gl.primitive_root_of_unity(m)
+        half = m // 2
+
+        def ev(x):
+            val = 0
+            for co in reversed(final_coeffs):
+                val = (val * x + co) % gl.P
+            return val
+
+        for q, idx in zip(proof["queries"], indices):
+            if int(q["index"]) != idx or q["layers"]:
+                return False, []
+            xu = gl.h_mul(shift, gl.h_pow(w, idx))
+            xv = gl.h_mul(shift, gl.h_pow(w, idx + half))
+            layer0.append((idx, ev(xu), ev(xv)))
+        return True, layer0
     for q, idx in zip(proof["queries"], indices):
         if int(q["index"]) != idx or len(q["layers"]) != len(roots):
             return False, []

@@ -315,6 +315,18 @@ def prove_chunks(
         longest = max(len(d) for d in datas)
         n = max(4, 1 << longest.bit_length())
     assert all(len(d) <= n - 1 for d in datas)
+    if mesh is not None:
+        # arbitrary production chunk counts: pad K with dummy chunks up
+        # to a multiple of the chunk axis, drop the extra proofs
+        from ..parallel.mesh import CHUNK_AXIS
+
+        axis = mesh.shape[CHUNK_AXIS]
+        pad = (-K) % axis
+        if pad:
+            proofs = prove_chunks(
+                datas + [[0]] * pad, ivs + [0] * pad, params, n=n, mesh=mesh
+            )
+            return proofs[:K]
     m = n * params.blowup
 
     d_np = np.zeros((K, n), dtype=np.uint64)

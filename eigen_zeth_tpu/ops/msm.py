@@ -786,6 +786,142 @@ def msm_g1_device(
     return _host_horner(windows, c)
 
 
+# ---------------------------------------------------------------------------
+# fixed-base MSM: precomputed window tables.  Production MSMs run against
+# FIXED point sets (a KZG SRS, a Groth16 proving key — the reference's
+# analog is the SRS inside its external prover + c-kzg's trusted setup,
+# /root/reference/Cargo.toml:73).  Precomputing T[w·N+i] = 2^(cw)·P_i
+# turns the W-window Pippenger into a SINGLE merged window over W·N
+# digit/point pairs:
+#   * the dominant cost — the sort-order row gather — shrinks by
+#     W_old/W_new (larger c is affordable because only ONE bucket
+#     reduction of 2^(c-1) sums remains, not one per window)
+#   * the Horner window combine (c doublings per window) disappears;
+#     the single bucket reduction Σ b·B_b IS the MSM result.
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _g1_table_jit(xs, ys, inf, c, n_windows):
+    """Affine (L, N) base points -> affine table (L, W·N) + (W·N,) inf.
+
+    Slab w holds 2^(cw)·P_i: a lax.scan over windows, each step applying
+    c Jacobian doublings (one point_double in the trace), then ONE
+    vectorized Jacobian->affine conversion of the whole table."""
+    F = bn254.FqOps()
+    one = F.one_like(xs)
+    p0 = PointJ(xs, ys, F.select(inf, F.zero_like(one), one))
+
+    def win(p, _):
+        nxt = jax.lax.fori_loop(0, c, lambda _i, q: point_double(F, q), p)
+        return nxt, p
+
+    _, slabs = jax.lax.scan(win, p0, None, length=n_windows)
+    # scan stacks on axis 0: leaves (W, L, N) -> (L, W·N), w-major to
+    # match signed_digits_from_limbs(...).reshape(1, W·N)
+    tj = PointJ(
+        *(jnp.moveaxis(l, 0, 1).reshape(l.shape[1], -1) for l in slabs)
+    )
+    txs, tys = to_affine(F, tj)
+    tinf = jnp.tile(inf, n_windows)
+    return txs, tys, tinf
+
+
+class G1Table:
+    """Precomputed fixed-base table for msm_g1_table (device-resident)."""
+
+    def __init__(self, txs, tys, tinf, c: int, n: int):
+        self.txs, self.tys, self.tinf = txs, tys, tinf
+        self.c = c
+        self.n = n
+        self.n_windows = (254 + c - 1) // c
+
+
+def g1_build_table(points_int, c: int = 16, eager: bool = False) -> G1Table:
+    """Precompute the fixed-base window table (one-time per SRS/pk).
+
+    eager=True builds on the host (python bigints) — the CPU test path,
+    where XLA EC compiles are prohibitive."""
+    assert 254 % c < c - 1 or 254 % c == 0, "top-window overflow risk"
+    F = bn254.FqOps()
+    W = (254 + c - 1) // c
+    if eager:
+        entries = []
+        for w in range(W):
+            mult = 1 << (c * w)
+            entries += [
+                None if p is None else bn254.h_ec_mul(mult, p)
+                for p in points_int
+            ]
+        txs = F.ctx.from_int([p[0] if p is not None else 0 for p in entries])
+        tys = F.ctx.from_int([p[1] if p is not None else 0 for p in entries])
+        tinf = jnp.asarray(np.array([p is None for p in entries]))
+        return G1Table(txs, tys, tinf, c, len(points_int))
+    xs = F.ctx.from_int([p[0] if p is not None else 0 for p in points_int])
+    ys = F.ctx.from_int([p[1] if p is not None else 0 for p in points_int])
+    inf = jnp.asarray(np.array([p is None for p in points_int]))
+    txs, tys, tinf = _g1_table_jit(xs, ys, inf, c, W)
+    return G1Table(txs, tys, tinf, c, len(points_int))
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _msm_g1_table_jit(txs, tys, tinf, limbs, c, serial):
+    """Fixed-base MSM query: signed digits -> ONE merged window over the
+    precomputed table -> the MSM result directly (no Horner)."""
+    F = bn254.FqOps()
+    mag, sign = signed_digits_from_limbs(limbs, c=c)
+    n_windows, n = mag.shape
+    S, bad = g1_window_sums_fast(
+        F,
+        txs,
+        tys,
+        tinf,
+        mag.reshape(1, n_windows * n),
+        sign.reshape(1, n_windows * n),
+        c=c,
+        serial=serial,
+        window_group=1,
+    )
+    ax, ay = to_affine(F, S)
+    return ax, ay, F.is_zero(S.z), bad
+
+
+def msm_g1_table(
+    table: G1Table, scalars, serial: int = DEFAULT_SERIAL, eager: bool = False
+):
+    """Σ s_i·P_i against a precomputed G1Table; host affine ints out.
+
+    Sound for arbitrary scalars: the unsafe-add collision flag falls back
+    to the complete-add pipeline on the base points (slab 0)."""
+    limbs = jnp.asarray(scalar_limbs(scalars))
+    F = bn254.FqOps()
+    if eager:
+        mag, sign = signed_digits_from_limbs(limbs, c=table.c)
+        n_windows, n = mag.shape
+        S, bad = g1_window_sums_fast(
+            F, table.txs, table.tys, table.tinf,
+            mag.reshape(1, n_windows * n), sign.reshape(1, n_windows * n),
+            c=table.c, serial=serial, window_group=1, eager=True,
+        )
+        ax, ay = to_affine(F, S)
+        inf_w = F.is_zero(S.z)
+    else:
+        ax, ay, inf_w, bad = _msm_g1_table_jit(
+            table.txs, table.tys, table.tinf, limbs, table.c, serial
+        )
+    if bool(np.asarray(bad)):
+        xs_i = F.to_int(table.txs[:, : table.n])
+        ys_i = F.to_int(table.tys[:, : table.n])
+        inf_h = np.asarray(table.tinf[: table.n])
+        pts = [
+            None if inf_h[i] else (int(xs_i[i]), int(ys_i[i]))
+            for i in range(table.n)
+        ]
+        return msm_g1(pts, scalars, use_jit=not eager)
+    if bool(np.asarray(inf_w)[0]):
+        return None
+    return int(F.to_int(ax)[0]), int(F.to_int(ay)[0])
+
+
 def msm_g1(
     points_int,
     scalars,

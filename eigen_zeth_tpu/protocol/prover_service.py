@@ -162,10 +162,12 @@ class BatchProver:
         stark_params: Optional[stark.StarkParams] = None,
         groth16_seed: str = "ezt-groth16-dev",
         use_jit: bool = True,
+        mesh=None,  # jax.sharding.Mesh with a 'chunk' axis -> chunk DP
     ):
         self.executor = executor or SyntheticExecutor()
         self.stark_params = stark_params or stark.StarkParams()
         self.use_jit = use_jit
+        self.mesh = mesh
         self._r1cs = groth16.wrap_circuit()
         self._pk, self._vk = groth16.setup(self._r1cs, seed=groth16_seed)
 
@@ -213,20 +215,37 @@ class BatchProver:
         try:
             data = base64.b64decode(batch_data)
             elems = bytes_to_field_elements(data)
-            proofs = []
-            for i in range(chunk_count):
-                chunk = elems[i * CHUNK_FIELD_ELEMS : (i + 1) * CHUNK_FIELD_ELEMS]
-                iv = poseidon.hash_elements_host(
-                    [chain_id, int(task_id), i]
-                )[0]
-                proof = stark.prove_chunk(chunk, iv, self.stark_params)
-                proofs.append(
-                    ChunkProof(
-                        chunk_id=i,
-                        proof_key=f"{task_id}/{i}",
-                        proof=json.dumps({"type": "chunk", "stark": proof}),
-                    )
+            chunks = [
+                elems[i * CHUNK_FIELD_ELEMS : (i + 1) * CHUNK_FIELD_ELEMS]
+                for i in range(chunk_count)
+            ]
+            ivs = [
+                poseidon.hash_elements_host([chain_id, int(task_id), i])[0]
+                for i in range(chunk_count)
+            ]
+            if self.use_jit and chunk_count >= 2:
+                # batched chunk prover: all chunks proved at once; with a
+                # mesh, the chunk axis shards over its 'chunk' devices
+                # (DP analog of the reference fanning chunks out to
+                # prover processes, proto/prover/v1/prover.proto:102-111)
+                from ..models import stark_batch
+
+                starks = stark_batch.prove_chunks(
+                    chunks, ivs, self.stark_params, mesh=self.mesh
                 )
+            else:
+                starks = [
+                    stark.prove_chunk(chunk, iv, self.stark_params)
+                    for chunk, iv in zip(chunks, ivs)
+                ]
+            proofs = [
+                ChunkProof(
+                    chunk_id=i,
+                    proof_key=f"{task_id}/{i}",
+                    proof=json.dumps({"type": "chunk", "stark": proof}),
+                )
+                for i, proof in enumerate(starks)
+            ]
             return GenChunkProofResult(
                 batch_id=batch_id,
                 task_id=task_id,

@@ -61,12 +61,16 @@ def gen_points(n_log2: int, seed: int = 5):
 
 
 def main():
-    n_log2 = int(sys.argv[1]) if len(sys.argv) > 1 else 18
-    c = int(sys.argv[2]) if len(sys.argv) > 2 else 13
-    serial = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    wg = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    args = [a for a in sys.argv[1:] if a != "--table"]
+    table_mode = "--table" in sys.argv
+    n_log2 = int(args[0]) if len(args) > 0 else 18
+    c = int(args[1]) if len(args) > 1 else 13
+    serial = int(args[2]) if len(args) > 2 else 32
+    wg = int(args[3]) if len(args) > 3 else 32
     n = 1 << n_log2
     xs, ys, dlogs = gen_points(n_log2)
+    if table_mode:
+        return run_table(n_log2, c, serial, xs, ys, dlogs)
     rng = np.random.default_rng(9)
     scalars = [int.from_bytes(rng.bytes(40), "big") % bn254.R for _ in range(n)]
     limbs = jnp.asarray(msm.scalar_limbs(scalars))
@@ -102,6 +106,50 @@ def main():
     dt = (time.time() - t0) / iters
     print(
         f"g1 msm 2^{n_log2} fast (c={c}, serial={serial}, wg={wg}): "
+        f"{dt*1e3:9.2f} ms -> {n/dt:,.0f} points/s"
+    )
+
+
+def run_table(n_log2, c, serial, xs, ys, dlogs):
+    """Fixed-base precomputed-table mode: build 2^(cw)·P_i slabs once,
+    then time the single-merged-window query."""
+    n = 1 << n_log2
+    rng = np.random.default_rng(9)
+    scalars = [int.from_bytes(rng.bytes(40), "big") % bn254.R for _ in range(n)]
+    limbs = jnp.asarray(msm.scalar_limbs(scalars))
+    inf = jnp.zeros((n,), bool)
+    W = (254 + c - 1) // c
+
+    t0 = time.time()
+    txs, tys, tinf = msm._g1_table_jit(xs, ys, inf, c, W)
+    np.asarray(tinf)
+    print(f"table build (W={W}, compile+run): {time.time()-t0:.1f}s")
+
+    def run():
+        ax, ay, inf_w, bad = msm._msm_g1_table_jit(txs, tys, tinf, limbs, c, serial)
+        np.asarray(ax)
+        return ax, ay, np.asarray(inf_w), np.asarray(bad)
+
+    t0 = time.time()
+    ax, ay, inf_w, bad = run()
+    print(f"first call (compile+run): {time.time()-t0:.1f}s, bad={bool(bad)}")
+    assert not bool(bad), "collision flag on distinct points?!"
+
+    F = bn254.FqOps()
+    assert not bool(inf_w[0])
+    got = (int(F.to_int(ax)[0]), int(F.to_int(ay)[0]))
+    want = h_ec_mul(sum(k * s for k, s in zip(dlogs, scalars)) % bn254.R, G1_GEN)
+    assert got == want, "MSM MISMATCH"
+    print("correctness gate passed")
+
+    iters = 4
+    t0 = time.time()
+    for _ in range(iters - 1):
+        msm._msm_g1_table_jit(txs, tys, tinf, limbs, c, serial)
+    run()
+    dt = (time.time() - t0) / iters
+    print(
+        f"g1 msm 2^{n_log2} table (c={c}, serial={serial}): "
         f"{dt*1e3:9.2f} ms -> {n/dt:,.0f} points/s"
     )
 

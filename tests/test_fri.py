@@ -84,3 +84,28 @@ def test_fri_rejects_high_degree():
     out = fri.fri_prove(evals, SHIFT, Transcript("fri"), lenient)
     ok, _ = fri.fri_verify(out.proof, Transcript("fri"), PARAMS)
     assert not ok
+
+
+def test_zero_layer_fri_roundtrip():
+    """m <= terminal_size emits no fold layers; the verifier terminates
+    directly against the final polynomial (small production chunks hit
+    this with the default terminal_size=64)."""
+    from eigen_zeth_tpu.models.transcript import Transcript
+
+    params = fri.FriParams(blowup=4, num_queries=3, terminal_size=64)
+    n = 16
+    coeffs = RNG.integers(0, gl.P, size=n, dtype=np.uint64)
+    evals = nttm.lde(gl.from_int(coeffs), params.blowup, SHIFT)
+    out = fri.fri_prove(evals, SHIFT, Transcript("t"), params)
+    assert out.proof["roots"] == []
+    ok, layer0 = fri.fri_verify(out.proof, Transcript("t"), params)
+    assert ok and len(layer0) == 3
+    ev = gl.to_int(evals)
+    for jj, u, v in layer0:
+        assert u == int(ev[jj]) and v == int(ev[jj + (n * params.blowup) // 2])
+    # tamper: bump a final coefficient
+    bad = dict(out.proof)
+    bad["final_coeffs"] = list(bad["final_coeffs"])
+    bad["final_coeffs"][0] = str((int(bad["final_coeffs"][0]) + 1) % gl.P)
+    ok2, _ = fri.fri_verify(bad, Transcript("t"), params)
+    assert not ok2

@@ -135,3 +135,28 @@ def test_msm_g2_small():
         sum(k * s for k, s in zip(base_ks, scalars)) % bn254.R, g2, HOST_FQ2
     )
     assert got == expect
+
+
+@pytest.mark.slow
+def test_msm_g1_table_fixed_base():
+    """Fixed-base precomputed-table MSM (single merged window) matches the
+    host reference, including infinity entries and a zero scalar."""
+    n = 24
+    base_ks = [int(k) for k in RNG.integers(1, 1 << 30, size=n)]
+    points = [h_ec_mul(k, G1_GEN) for k in base_ks]
+    points[5] = None  # infinity entry
+    scalars = rand_scalars(n)
+    scalars[7] = 0
+    table = msm.g1_build_table(points, c=8, eager=True)
+    got = msm.msm_g1_table(table, scalars, serial=8, eager=True)
+    assert got == host_msm(points, scalars)
+
+
+@pytest.mark.slow
+def test_msm_g1_table_zero_result():
+    """s·P + (r-s)·P + 0·Q == r·P wraps to infinity when s = -t mod r."""
+    s = rand_scalars(1)[0]
+    points = [G1_GEN, G1_GEN]
+    scalars = [s, bn254.R - s]
+    table = msm.g1_build_table(points, c=8, eager=True)
+    assert msm.msm_g1_table(table, scalars, serial=2, eager=True) is None

@@ -192,3 +192,35 @@ def test_pipeline_stale_record_restarts():
     pipe = ProverPipeline(db, make_prover(), aggregator_addr="0xagg")
     result = pipe.execute(3)  # different batch: record is stale
     assert result.block_number == 3
+
+
+def test_gen_chunk_proof_routes_through_batched_prover(monkeypatch):
+    """With a device (use_jit=True), multi-chunk batches go through
+    stark_batch.prove_chunks (chunk DP path), not the serial loop."""
+    import base64
+
+    from eigen_zeth_tpu.models import stark_batch
+
+    calls = {}
+
+    def fake_prove_chunks(chunks, ivs, params, n=None, mesh=None):
+        calls["k"] = len(chunks)
+        calls["mesh"] = mesh
+        return [stark.prove_chunk(c, iv, params) for c, iv in zip(chunks, ivs)]
+
+    monkeypatch.setattr(stark_batch, "prove_chunks", fake_prove_chunks)
+    prover = BatchProver(stark_params=FAST_STARK, use_jit=True)
+    data = bytes(range(256)) * 4  # 147 elems -> 2 chunks at CHUNK_FIELD_ELEMS=120
+    res = prover.gen_chunk_proof(
+        batch_id="b1",
+        task_id="0000000001",
+        chunk_count=2,
+        chain_id=1,
+        program_name="p",
+        batch_data=base64.b64encode(data).decode(),
+    )
+    assert res.result_code == ProofResultCode.COMPLETED_OK
+    assert calls["k"] == 2 and calls["mesh"] is None
+    for cp in res.chunk_proofs:
+        node = json.loads(cp.proof)
+        assert stark.verify_chunk(node["stark"], FAST_STARK)

@@ -48,6 +48,15 @@ def timeit(fn, iters=5):
     return (time.time() - t0) / iters
 
 
+def timeit_host(fn, iters=3):
+    """Wall-clock for host-driven pipelines (their host sections already
+    synchronize; no extra warm run — these take seconds per call)."""
+    t0 = time.time()
+    for _ in range(iters):
+        fn()
+    return (time.time() - t0) / iters
+
+
 def bench_ntt() -> float:
     from eigen_zeth_tpu.ops import goldilocks as gl
     from eigen_zeth_tpu.ops import ntt as nttm
@@ -148,44 +157,60 @@ def bench_mont_mul():
     return n / dt
 
 
-def bench_msm(n_log2: int = 18, c: int = 8, serial: int = 32, window_group: int = 8):
-    """BASELINE config 3: G1 MSM at 2^18 points.  Times the production
-    shape — fixed points resident on device (an SRS/proving key), limb
-    scalars in, one jitted dispatch (device digit extraction + sorted
-    segmented bucket sums + affine windows), host Horner combine of the
-    32 window points."""
+def bench_msm(n_log2: int = 20, c: int = 13, serial: int = 32, window_group: int = 32):
+    """BASELINE config 3 (target 2^20 points/s): G1 MSM over DISTINCT
+    points.  Times the production shape — points resident on device (an
+    SRS/proving key), limb scalars in, one jitted dispatch (device signed
+    digit extraction + sorted segmented bucket sums via unsafe mixed adds
+    + collision flag + affine windows), host Horner combine."""
     from eigen_zeth_tpu.ops import bn254, msm
     from eigen_zeth_tpu.ops.bn254 import G1_GEN, h_ec_mul
 
     n = 1 << n_log2
+    t0 = time.time()
+    xs, ys, dlogs = msm.gen_test_points(n_log2)
+    log(f"msm point gen 2^{n_log2} (sqrt-size host sets + device combine): "
+        f"{time.time() - t0:.1f}s")
     rng = np.random.default_rng(3)
     scalars = [int.from_bytes(rng.bytes(40), "big") % bn254.R for _ in range(n)]
-    pts = msm._g1_device_points([G1_GEN] * n)
     limbs = jnp.asarray(msm.scalar_limbs(scalars))
+    inf = jnp.zeros((n,), bool)
 
-    def run():
-        ax, ay, inf_d = msm._msm_pipeline_jit(False, pts, limbs, c, serial, window_group)
-        jax.block_until_ready(ax)
-        return ax, ay, np.asarray(inf_d)
+    def run(read_back: bool = True):
+        ax, ay, inf_w, bad = msm._msm_g1_fast_jit(
+            xs, ys, inf, limbs, c, serial, window_group
+        )
+        if read_back:
+            # force a true host read: block_until_ready does not reliably
+            # block on the axon tunnel backend
+            np.asarray(ax)
+        return ax, ay, np.asarray(inf_w), np.asarray(bad)
 
     t0 = time.time()
-    ax, ay, inf = run()
+    ax, ay, inf_w, bad = run()
     log(f"msm first call (compile+run): {time.time() - t0:.1f}s")
+    assert not bool(bad), "collision flag on distinct points"
 
-    # correctness gate: full result (windows + host Horner) vs host scalar mul
+    # correctness gate: windows + host Horner vs ONE host scalar mul of G
     F = bn254.FqOps()
-    xs, ys = F.to_int(ax), F.to_int(ay)
+    xi, yi = F.to_int(ax), F.to_int(ay)
     windows = [
-        None if inf[w] else (int(xs[w]), int(ys[w])) for w in range(len(inf))
+        None if inf_w[w] else (int(xi[w]), int(yi[w])) for w in range(len(inf_w))
     ]
     got = msm._host_horner(windows, c)
-    assert got == h_ec_mul(sum(scalars) % bn254.R, G1_GEN), "MSM mismatch"
+    want = h_ec_mul(sum(k * s for k, s in zip(dlogs, scalars)) % bn254.R, G1_GEN)
+    assert got == want, "MSM mismatch"
     log("msm correctness gate passed")
 
-    dt = timeit(run, iters=3)
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters - 1):
+        run(read_back=False)
+    run()  # final host read drains the dispatch queue
+    dt = (time.time() - t0) / iters
     log(
-        f"g1 msm 2^{n_log2} (device pipeline, c={c}, serial={serial}, wg={window_group}):"
-        f" {dt * 1e3:9.2f} ms -> {n / dt:,.0f} points/s"
+        f"g1 msm 2^{n_log2} (fast device pipeline, c={c}, serial={serial}, "
+        f"wg={window_group}): {dt * 1e3:9.2f} ms -> {n / dt:,.0f} points/s"
     )
     return n / dt
 
@@ -203,6 +228,134 @@ def bench_fri_fold():
     return n / dt
 
 
+def bench_fri_full(n_log2: int = 22):
+    """BASELINE config 4: the FULL FRI protocol (commit + open) on a 2^22
+    constraint polynomial — every fold, every per-layer Merkle commit,
+    transcript, terminal interpolation, and the 30 query openings.  (The
+    round-1 bench timed a single fold op; VERDICT flagged that.)"""
+    from eigen_zeth_tpu.models import fri
+    from eigen_zeth_tpu.models.transcript import Transcript
+    from eigen_zeth_tpu.ops import goldilocks as gl
+    from eigen_zeth_tpu.ops import ntt as nttm
+
+    params = fri.FriParams()
+    rng = np.random.default_rng(7)
+
+    def low_degree_evals(m):
+        coeffs = gl.random_gf((m // params.blowup,), rng)
+        return nttm.lde(coeffs, params.blowup, gl.MULTIPLICATIVE_GENERATOR)
+
+    # correctness gate at 2^14: round trip + tamper rejection
+    small = low_degree_evals(1 << 14)
+    out = fri.fri_prove(small, gl.MULTIPLICATIVE_GENERATOR, Transcript("bench-fri"), params)
+    ok, _ = fri.fri_verify(out.proof, Transcript("bench-fri"), params)
+    assert ok, "FRI round-trip failed"
+    bad = json.loads(json.dumps(out.proof))
+    bad["queries"][0]["layers"][0]["u"] = str(
+        (int(bad["queries"][0]["layers"][0]["u"]) + 1) % gl.P
+    )
+    ok_bad, _ = fri.fri_verify(bad, Transcript("bench-fri"), params)
+    assert not ok_bad, "FRI accepted a tampered opening"
+    log("fri full-protocol correctness gate passed (round trip + tamper)")
+
+    m = 1 << n_log2
+    evals = low_degree_evals(m)
+    jax.block_until_ready(evals.lo)
+
+    def run():
+        return fri.fri_prove(
+            evals, gl.MULTIPLICATIVE_GENERATOR, Transcript("bench-fri"), params
+        )
+
+    t0 = time.time()
+    run()
+    log(f"fri full first call (compile+run): {time.time() - t0:.1f}s")
+    dt = timeit_host(run, iters=3)
+    log(
+        f"fri commit+open 2^{n_log2} (full protocol, {params.num_queries} queries):"
+        f" {dt:9.2f} s -> {m / dt:,.0f} elems/s"
+    )
+    return m / dt
+
+
+def bench_stark_chunk(n_log2: int = 18):
+    """Production-scale chunk STARK: a 2^18-row trace (VERDICT #3; the
+    round-1 chunk traces were 128 rows).  Times prove_chunk end-to-end:
+    trace build, INTT/LDE, trace Merkle commit at 2^20 leaves, constraint
+    composition, full FRI, query openings."""
+    from eigen_zeth_tpu.models import stark
+    from eigen_zeth_tpu.ops import goldilocks as gl
+
+    # correctness gate at a small size: verify + tamper rejection
+    params = stark.StarkParams()
+    rng = np.random.default_rng(8)
+    small_data = [int(x) for x in rng.integers(0, gl.P, size=1000, dtype=np.uint64)]
+    proof = stark.prove_chunk(small_data, iv=123, params=params)
+    assert stark.verify_chunk(proof, params), "chunk STARK round-trip failed"
+    bad = json.loads(json.dumps(proof))
+    bad["public"]["out"] = str((int(bad["public"]["out"]) + 1) % gl.P)
+    assert not stark.verify_chunk(bad, params), "accepted tampered public output"
+    log("chunk STARK correctness gate passed (round trip + tamper)")
+
+    n = 1 << n_log2
+    data = [int(x) for x in rng.integers(0, gl.P, size=n - 2, dtype=np.uint64)]
+
+    def run():
+        return stark.prove_chunk(data, iv=99, params=params)
+
+    t0 = time.time()
+    p = run()
+    assert int(p["n"]) == n
+    log(f"stark chunk first call (compile+run): {time.time() - t0:.1f}s")
+    dt = timeit_host(run, iters=2)
+    log(
+        f"chunk STARK prove, 2^{n_log2}-row trace (LDE 2^{n_log2 + 2}):"
+        f" {dt:9.2f} s -> {n / dt:,.0f} trace rows/s"
+    )
+    return dt
+
+
+def bench_e2e_batch(n_blocks: int = 210):
+    """BASELINE config 5: end-to-end batch proof wall-clock through the
+    four ProverService steps (GenBatchChunks -> GenChunkProof [batched
+    chunk STARKs] -> GenAggregatedProof -> GenFinalProof/Groth16), the
+    same call sequence the node's proving state machine drives
+    (reference: src/prover/provider.rs:276-540)."""
+    from eigen_zeth_tpu.protocol import prover_service as ps
+    from eigen_zeth_tpu.protocol.messages import ProofResultCode
+
+    prover = ps.BatchProver()
+    blocks = list(range(1, n_blocks + 1))
+
+    def run():
+        r1 = prover.gen_batch_chunks("bench", blocks, chain_id=12345, program_name="evm")
+        assert r1.result_code == ProofResultCode.COMPLETED_OK, r1.error_message
+        r2 = prover.gen_chunk_proof(
+            "bench", r1.task_id, r1.chunk_count, 12345, "evm", r1.batch_data
+        )
+        assert r2.result_code == ProofResultCode.COMPLETED_OK, r2.error_message
+        # the client state machine aggregates first+last chunk proofs
+        # (reference: src/prover/provider.rs:384-390)
+        r3 = prover.gen_aggregated_proof(
+            "bench", r2.chunk_proofs[0].proof, r2.chunk_proofs[-1].proof
+        )
+        assert r3.result_code == ProofResultCode.COMPLETED_OK, r3.error_message
+        r4 = prover.gen_final_proof("bench", r3.result_string, "BN128", "0x" + "11" * 20)
+        assert r4.result_code == ProofResultCode.COMPLETED_OK, r4.error_message
+        return r1.chunk_count
+
+    t0 = time.time()
+    chunk_count = run()
+    dt0 = time.time() - t0
+    log(f"e2e first call (compile+run): {dt0:.1f}s ({chunk_count} chunks)")
+    dt = timeit_host(run, iters=1)
+    log(
+        f"e2e batch proof ({n_blocks} blocks, {chunk_count} chunks, 4 steps"
+        f" incl Groth16 wrap + self-verify): {dt:9.2f} s"
+    )
+    return dt
+
+
 BASELINE_MSM_POINTS_PER_S = float(1 << 20)  # BASELINE config 3 target
 
 
@@ -210,6 +363,9 @@ def main() -> None:
     full = "--full" in sys.argv
     elems_per_s = bench_ntt()
     msm_per_s = bench_msm()
+    fri_per_s = bench_fri_full()
+    stark_s = bench_stark_chunk()
+    e2e_s = bench_e2e_batch()
     if full:
         bench_poseidon_merkle()
         bench_mont_mul()
@@ -222,10 +378,13 @@ def main() -> None:
                 "unit": "elems/s",
                 "vs_baseline": round(elems_per_s / BASELINE_NTT_ELEMS_PER_S, 3),
                 "extra": {
-                    "msm_g1_2e18_points_per_s": round(msm_per_s),
+                    "msm_g1_2e20_points_per_s": round(msm_per_s),
                     "msm_vs_baseline_2e20_per_s": round(
                         msm_per_s / BASELINE_MSM_POINTS_PER_S, 3
                     ),
+                    "fri_full_2e22_elems_per_s": round(fri_per_s),
+                    "stark_chunk_2e18_trace_wall_s": round(stark_s, 2),
+                    "e2e_batch_proof_wall_s": round(e2e_s, 2),
                 },
             }
         )

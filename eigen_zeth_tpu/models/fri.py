@@ -127,23 +127,29 @@ def fri_prove(
     final_coeffs = final_coeffs[:keep]
     transcript.absorb("fri-final", final_coeffs)
 
-    # queries
+    # queries — batched per layer: one u/v gather + one open_many per
+    # layer (per-query transfers are latency-bound at 2^22 domains)
     indices = transcript.challenge_indices("fri-query", params.num_queries, m // 2)
+    per_layer = []
+    js = np.asarray(indices, dtype=np.int64)
+    for wit in layers:
+        half = wit.u.lo.shape[-1]
+        jj = js % half
+        u_vals = np.atleast_1d(gl.to_int(GF(wit.u.lo[jj], wit.u.hi[jj])))
+        v_vals = np.atleast_1d(gl.to_int(GF(wit.v.lo[jj], wit.v.hi[jj])))
+        paths = wit.tree.open_many(jj)
+        per_layer.append((u_vals, v_vals, paths))
+        js = jj
     queries = []
-    for idx in indices:
-        j = idx
-        layer_openings = []
-        for wit in layers:
-            half = wit.u.lo.shape[-1]
-            jj = j % half
-            layer_openings.append(
-                {
-                    "u": str(int(gl.to_int(GF(wit.u.lo[jj], wit.u.hi[jj])))),
-                    "v": str(int(gl.to_int(GF(wit.v.lo[jj], wit.v.hi[jj])))),
-                    "path": [[str(x) for x in d] for d in wit.tree.open(jj)],
-                }
-            )
-            j = jj
+    for q, idx in enumerate(indices):
+        layer_openings = [
+            {
+                "u": str(int(u_vals[q])),
+                "v": str(int(v_vals[q])),
+                "path": [[str(x) for x in d] for d in paths[q]],
+            }
+            for (u_vals, v_vals, paths) in per_layer
+        ]
         queries.append({"index": idx, "layers": layer_openings})
 
     proof = {

@@ -38,14 +38,25 @@ class MerkleTree:
 
     def open(self, index: int) -> list[list[int]]:
         """Sibling digests bottom-up for one leaf index (host ints)."""
-        path = []
-        idx = index
+        return self.open_many([index])[0]
+
+    def open_many(self, indices) -> list[list[list[int]]]:
+        """Batched openings: ONE device gather + transfer per tree level
+        (instead of per query per level — at 2^22 domains the per-element
+        transfer latency over the device tunnel dominates otherwise).
+        Returns [paths[q][level][4] for q in indices]."""
+        idx = np.asarray(list(indices), dtype=np.int64)
+        per_level = []
+        cur = idx
         for level in self.levels[:-1]:
-            sib = idx ^ 1
-            digest = gl.to_int(GF(level.lo[sib], level.hi[sib]))
-            path.append([int(v) for v in digest])
-            idx >>= 1
-        return path
+            sib = cur ^ 1
+            digs = gl.to_int(GF(level.lo[sib], level.hi[sib]))  # (Q, 4)
+            per_level.append(np.atleast_2d(digs))
+            cur = cur >> 1
+        return [
+            [[int(v) for v in lv[q]] for lv in per_level]
+            for q in range(len(idx))
+        ]
 
 
 def commit_digests(leaf_digests: GF) -> MerkleTree:

@@ -137,17 +137,23 @@ def prove_chunk(data: list[int], iv: int, params: StarkParams | None = None) -> 
     # --- FRI on the composition --------------------------------------------
     fri_out = fri.fri_prove(comp, params.shift, transcript, params.fri_params())
 
-    # --- trace openings at the queried points -------------------------------
-    openings = []
+    # --- trace openings at the queried points (batched gathers) -------------
+    all_idx = []
     for jj in fri_out.layer0_indices:
-        idxs = [jj, (jj + params.blowup) % m, jj + m // 2, (jj + m // 2 + params.blowup) % m]
+        all_idx += [jj, (jj + params.blowup) % m, jj + m // 2, (jj + m // 2 + params.blowup) % m]
+    idx_arr = np.asarray(all_idx, dtype=np.int64)
+    row_vals = np.atleast_2d(gl.to_int(GF(rows.lo[idx_arr], rows.hi[idx_arr])))
+    all_paths = tree.open_many(all_idx)
+    openings = []
+    for q in range(len(fri_out.layer0_indices)):
         rows_open = []
-        for i in idxs:
+        for k in range(4):
+            i = q * 4 + k
             rows_open.append(
                 {
-                    "index": i,
-                    "row": [str(x) for x in merkle.leaf_row(rows, i)],
-                    "path": [[str(x) for x in p] for p in tree.open(i)],
+                    "index": all_idx[i],
+                    "row": [str(int(x)) for x in row_vals[i]],
+                    "path": [[str(x) for x in p] for p in all_paths[i]],
                 }
             )
         openings.append(rows_open)

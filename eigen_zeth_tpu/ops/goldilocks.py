@@ -366,6 +366,62 @@ def powers_np(base: int, n: int) -> np.ndarray:
     return out[:n]
 
 
+def np_addmod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise (a+b) mod P on canonical uint64 numpy arrays."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    s = a + b  # may wrap: a,b < P < 2^64 so s mod 2^64 = s - 2^64·c
+    wrap = s < a
+    # 2^64 ≡ 2^32 − 1 (mod P)
+    s = np.where(wrap, s + _M32, s)
+    return np.where(s >= np.uint64(P), s - np.uint64(P), s)
+
+
+def np_submod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise (a−b) mod P on canonical uint64 numpy arrays."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    d = a - b
+    return np.where(a < b, d + np.uint64(P), d)
+
+
+def np_ntt(values: np.ndarray, inverse: bool = False) -> np.ndarray:
+    """Host radix-2 NTT over numpy uint64 (vectorized np_mulmod butterflies).
+
+    Used by the AIR verifier to build periodic-column interpolants without
+    touching a device — the verifier must run host-only."""
+    a = np.asarray(values, dtype=np.uint64).copy()
+    n = len(a)
+    assert n & (n - 1) == 0
+    if n == 1:
+        return a
+    # bit-reversal permutation
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    bits = n.bit_length() - 1
+    for b in range(bits):
+        rev |= ((idx >> b) & 1) << (bits - 1 - b)
+    a = a[rev]
+    size = 2
+    while size <= n:
+        w = primitive_root_of_unity(size)
+        if inverse:
+            w = h_inv(w)
+        ws = powers_np(w, size // 2)
+        blk = a.reshape(n // size, size)
+        lo, hi = blk[:, : size // 2], blk[:, size // 2 :]
+        t = np_mulmod(hi, ws[None, :])
+        a = np.concatenate([np_addmod(lo, t), np_submod(lo, t)], axis=1).reshape(n)
+        size *= 2
+    if inverse:
+        a = np_mulmod(a, np.uint64(h_inv(n)))
+    return a
+
+
+def np_intt(values: np.ndarray) -> np.ndarray:
+    return np_ntt(values, inverse=True)
+
+
 def h_pow(a: int, e: int) -> int:
     return pow(a, e, P)
 

@@ -635,6 +635,60 @@ def _host_horner(windows, c: int, fq2: bool = False):
 # convenience wrappers (host ints in / host ints out)
 
 
+def gen_test_points(n_log2: int, seed: int = 5):
+    """2^n distinct device G1 points with known dlogs (bench/tune support).
+
+    Builds P_{a,b} = B_a + C_b from two sqrt-size host sets so the
+    correctness gate is ONE host scalar-mul of G by Σ s_i·k_i instead of
+    2^n host scalar-muls.  Returns (xs, ys, dlogs): affine Montgomery limb
+    arrays (16, 2^n) plus the host dlog list."""
+    assert n_log2 >= 2
+    h = n_log2 // 2
+    na, nb = 1 << (n_log2 - h), 1 << h
+    rng = np.random.default_rng(seed)
+    ka = [int(x) for x in rng.integers(1, 1 << 60, size=na, dtype=np.int64)]
+    kb = [int(x) << 61 for x in rng.integers(1, 1 << 60, size=nb, dtype=np.int64)]
+    A = [bn254.h_ec_mul(k, bn254.G1_GEN) for k in ka]
+    B = [bn254.h_ec_mul(k, bn254.G1_GEN) for k in kb]
+    F = bn254.FqOps()
+    ax = F.ctx.from_int([p[0] for p in A]).reshape(16, na, 1)
+    ay = F.ctx.from_int([p[1] for p in A]).reshape(16, na, 1)
+    bx = F.ctx.from_int([p[0] for p in B]).reshape(16, 1, nb)
+    by = F.ctx.from_int([p[1] for p in B]).reshape(16, 1, nb)
+
+    # chunk the pairwise add over the b-axis: the full (16, na, nb)
+    # Jacobian-add graph OOMs HBM at 2^20 (na=nb=1024)
+    cb = min(nb, max(1, (1 << 16) // na))
+
+    @jax.jit
+    def combine(ax, ay, bxc, byc):
+        one = F.one_like(ax)
+        pa = PointJ(
+            jnp.broadcast_to(ax, (16, na, cb)),
+            jnp.broadcast_to(ay, (16, na, cb)),
+            jnp.broadcast_to(one, (16, na, cb)),
+        )
+        pb = PointJ(
+            jnp.broadcast_to(bxc, (16, na, cb)),
+            jnp.broadcast_to(byc, (16, na, cb)),
+            jnp.broadcast_to(one, (16, na, cb)),
+        )
+        s = point_add(F, pa, pb)
+        x, y = to_affine(F, s)
+        return x, y
+
+    xs_parts, ys_parts = [], []
+    for off in range(0, nb, cb):
+        x, y = combine(ax, ay, bx[:, :, off : off + cb], by[:, :, off : off + cb])
+        xs_parts.append(x)
+        ys_parts.append(y)
+    xs = jnp.concatenate(xs_parts, axis=2).reshape(16, -1)
+    ys = jnp.concatenate(ys_parts, axis=2).reshape(16, -1)
+    jax.block_until_ready(xs)
+    dlogs = [ka[i] + kb[j] for i in range(na) for j in range(nb)]
+    return xs, ys, dlogs
+
+
 def _g1_device_points(points_int) -> PointJ:
     F = bn254.FqOps()
     xs = F.ctx.from_int([p[0] if p is not None else 0 for p in points_int])

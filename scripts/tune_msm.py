@@ -19,45 +19,11 @@ from eigen_zeth_tpu.ops.bn254 import G1_GEN, from_affine, h_ec_mul, point_add, t
 
 
 def gen_points(n_log2: int, seed: int = 5):
-    """Distinct device points (xs, ys, dlogs) via a sum of two host sets."""
-    assert n_log2 >= 2
-    h = n_log2 // 2
-    na, nb = 1 << (n_log2 - h), 1 << h
-    rng = np.random.default_rng(seed)
-    ka = [int(x) for x in rng.integers(1, 1 << 60, size=na, dtype=np.int64)]
-    kb = [int(x) << 61 for x in rng.integers(1, 1 << 60, size=nb, dtype=np.int64)]
+    """Distinct device points (xs, ys, dlogs) via msm.gen_test_points."""
     t0 = time.time()
-    A = [h_ec_mul(k, G1_GEN) for k in ka]
-    B = [h_ec_mul(k, G1_GEN) for k in kb]
-    print(f"host base-point gen ({na}+{nb}): {time.time()-t0:.1f}s", file=sys.stderr)
-    F = bn254.FqOps()
-    ax = F.ctx.from_int([p[0] for p in A]).reshape(16, na, 1)
-    ay = F.ctx.from_int([p[1] for p in A]).reshape(16, na, 1)
-    bx = F.ctx.from_int([p[0] for p in B]).reshape(16, 1, nb)
-    by = F.ctx.from_int([p[1] for p in B]).reshape(16, 1, nb)
-
-    @jax.jit
-    def combine(ax, ay, bx, by):
-        one = F.one_like(ax)
-        pa = bn254.PointJ(
-            jnp.broadcast_to(ax, (16, na, nb)),
-            jnp.broadcast_to(ay, (16, na, nb)),
-            jnp.broadcast_to(one, (16, na, nb)),
-        )
-        pb = bn254.PointJ(
-            jnp.broadcast_to(bx, (16, na, nb)),
-            jnp.broadcast_to(by, (16, na, nb)),
-            jnp.broadcast_to(one, (16, na, nb)),
-        )
-        s = point_add(F, pa, pb)
-        x, y = to_affine(F, s)
-        return x.reshape(16, -1), y.reshape(16, -1)
-
-    t0 = time.time()
-    xs, ys = jax.block_until_ready(combine(ax, ay, bx, by))
-    print(f"device combine: {time.time()-t0:.1f}s", file=sys.stderr)
-    dlogs = [ka[i] + kb[j] for i in range(na) for j in range(nb)]
-    return xs, ys, dlogs
+    out = msm.gen_test_points(n_log2, seed)
+    print(f"point gen 2^{n_log2}: {time.time()-t0:.1f}s", file=sys.stderr)
+    return out
 
 
 def main():

@@ -50,12 +50,24 @@ from .transcript import Transcript
 
 
 class DevAlg:
-    """Vectorized Goldilocks ops over the LDE coset (GF arrays)."""
+    """Vectorized Goldilocks ops over the LDE coset (GF arrays).
+
+    Constraint FAMILIES (arity k) stack a leading axis: values are
+    (k, m) GF arrays; the scalar entry points broadcast.  Writing the
+    12-lane Poseidon round as ONE family with a broadcasted MDS multiply
+    keeps the XLA graph ~100x smaller than per-lane constraints (the
+    per-lane form took XLA CPU >12 min to compile)."""
+
+    batched = True
 
     def __init__(self, shape):
-        self.shape = shape
+        self.shape = tuple(shape)
 
     def c(self, v: int) -> GF:
+        return gl.full((), v % gl.P)
+
+    def full(self, v: int) -> GF:
+        """Constant broadcast to the evaluation shape (stackable)."""
         return gl.full(self.shape, v % gl.P)
 
     def add(self, a, b):
@@ -67,34 +79,128 @@ class DevAlg:
     def mul(self, a, b):
         return gl.mul(a, b)
 
+    def stack(self, parts):
+        return gl.stack(list(parts), axis=0)
+
+    def concat0(self, parts):
+        def as2d(x):
+            return x if x.lo.ndim > 1 else GF(x.lo[None], x.hi[None])
+
+        return gl.concatenate([as2d(p) for p in parts], axis=0)
+
+    def zeros(self, k):
+        return gl.zeros((k,) + tuple(self.shape))
+
+    def get0(self, x, i):
+        return GF(x.lo[i], x.hi[i])
+
+    def slice0(self, x, a, b):
+        return GF(x.lo[a:b], x.hi[a:b])
+
+    def sum0(self, x):
+        """Log-depth pairwise field-add reduction over the leading axis."""
+        k = x.lo.shape[0]
+        while k > 1:
+            if k % 2:
+                pad = [(0, 1)] + [(0, 0)] * (x.lo.ndim - 1)
+                x = GF(jnp.pad(x.lo, pad), jnp.pad(x.hi, pad))
+                k += 1
+            a = GF(x.lo[0::2], x.hi[0::2])
+            b = GF(x.lo[1::2], x.hi[1::2])
+            x = gl.add(a, b)
+            k //= 2
+        return GF(x.lo[0], x.hi[0])
+
+    def const_matrix(self, rows) -> GF:
+        """(r, c) matrix of field constants (for broadcasted matvecs)."""
+        return gl.from_int_np(np.asarray(rows, dtype=np.uint64))
+
+    def scale_rows(self, vec: GF, x) -> GF:
+        """(k,) constant vector x one m-shaped value -> (k, m) family."""
+        return gl.mul(GF(vec.lo[:, None], vec.hi[:, None]), x)
+
+    def matvec(self, mat: GF, x: GF) -> GF:
+        """(r, c) const matrix x (c, m) values -> (r, m): one broadcasted
+        multiply + a log-depth reduction (MXU/VPU-friendly)."""
+        prod = gl.mul(
+            GF(mat.lo[:, :, None], mat.hi[:, :, None]),
+            GF(x.lo[None, :, :], x.hi[None, :, :]),
+        )  # (r, c, m)
+        t = GF(jnp.moveaxis(prod.lo, 1, 0), jnp.moveaxis(prod.hi, 1, 0))
+        return self.sum0(t)  # reduce the c axis -> (r, m)
+
 
 class HostAlg:
-    """Scalar host ints mod P (verifier-side)."""
+    """The same vector algebra on host numpy uint64 (verifier-side): every
+    value is a canonical-residue np.uint64 scalar or array, so family
+    constraints evaluate identically at a query point."""
 
-    def c(self, v: int) -> int:
-        return v % gl.P
+    batched = False
+
+    def c(self, v: int):
+        return np.uint64(v % gl.P)
+
+    def full(self, v: int):
+        return np.uint64(v % gl.P)
 
     def add(self, a, b):
-        return (a + b) % gl.P
+        return gl.np_addmod(a, b)
 
     def sub(self, a, b):
-        return (a - b) % gl.P
+        return gl.np_submod(a, b)
 
     def mul(self, a, b):
-        return (a * b) % gl.P
+        return gl.np_mulmod(a, b)
+
+    def stack(self, parts):
+        return np.stack([np.asarray(p, dtype=np.uint64) for p in parts])
+
+    def concat0(self, parts):
+        return np.concatenate(
+            [np.atleast_1d(np.asarray(p, dtype=np.uint64)) for p in parts]
+        )
+
+    def zeros(self, k):
+        return np.zeros((k,), dtype=np.uint64)
+
+    def get0(self, x, i):
+        return x[i]
+
+    def slice0(self, x, a, b):
+        return x[a:b]
+
+    def sum0(self, x):
+        acc = np.zeros_like(x[0])
+        for i in range(x.shape[0]):
+            acc = gl.np_addmod(acc, x[i])
+        return acc
+
+    def const_matrix(self, rows):
+        return np.asarray(rows, dtype=np.uint64)
+
+    def scale_rows(self, vec, x):
+        return gl.np_mulmod(vec, x)
+
+    def matvec(self, mat, x):
+        return np.stack(
+            [self.sum0(gl.np_mulmod(mat[i], x)) for i in range(mat.shape[0])]
+        )
 
 
 @dataclass
 class Constraint:
-    """fn(alg, cur, nxt, per) -> constraint value.
+    """fn(alg, cur, nxt, per) -> constraint value(s).
 
     cur/nxt: indexable views of the trace columns at x and w·x.
     per: indexable view of the periodic columns at x.
-    domain: 'transition' vanishes on H \\ {last row}; 'all' on all of H."""
+    domain: 'transition' vanishes on H \\ {last row}; 'all' on all of H.
+    arity: >1 means fn returns a STACKED family of constraints (leading
+    axis k) — each member gets its own alpha."""
 
     name: str
     fn: Callable
     domain: str = "transition"
+    arity: int = 1
 
 
 @dataclass
@@ -120,14 +226,28 @@ class Air:
     # -- circuit-constant caches ---------------------------------------------
 
     def periodic_lde(self, shift: int) -> List[GF]:
-        """LDE of each tiled periodic pattern on the shift·H_m coset."""
+        """LDE of each tiled periodic pattern on the shift·H_m coset —
+        ONE batched jitted INTT+LDE over all patterns (per-column eager
+        dispatch costs thousands of tiny XLA compiles)."""
         if self._per_lde_cache is None:
-            out = []
-            for p in self.periodic:
-                tiled = np.tile(np.asarray(p, dtype=np.uint64), self.n // len(p))
-                coeffs = nttm.intt_auto(gl.from_int(tiled))
-                out.append(nttm.lde(coeffs, self.ext_blowup, shift))
-            self._per_lde_cache = out
+            import jax
+
+            tiled = np.stack(
+                [
+                    np.tile(np.asarray(p, dtype=np.uint64), self.n // len(p))
+                    for p in self.periodic
+                ]
+            )  # (K, n)
+            B = self.ext_blowup
+
+            @jax.jit
+            def f(x: GF) -> GF:
+                return nttm.lde(nttm.intt_auto(x), B, shift)
+
+            all_lde = f(gl.from_int(tiled))  # (K, m)
+            self._per_lde_cache = [
+                GF(all_lde.lo[k], all_lde.hi[k]) for k in range(len(self.periodic))
+            ]
         return self._per_lde_cache
 
     def periodic_interps(self) -> List[np.ndarray]:
@@ -192,6 +312,200 @@ def _columns(trace_rows: GF) -> GF:
     return GF(trace_rows.lo.T, trace_rows.hi.T)
 
 
+def _lde_jit(air: Air, shift: int):
+    """Cached jitted batched INTT+LDE of the trace columns."""
+    key = ("lde", shift)
+    cache = air.__dict__.setdefault("_jit_cache", {})
+    if key not in cache:
+        import jax
+
+        B = air.ext_blowup
+
+        @jax.jit
+        def f(cols: GF) -> GF:
+            return nttm.lde(nttm.intt_auto(cols), B, shift)
+
+        cache[key] = f
+    return cache[key]
+
+
+def _np_batch_inv(vals: np.ndarray) -> np.ndarray:
+    """Host Montgomery batch inversion over canonical uint64 (one modexp)."""
+    n = len(vals)
+    prefix = np.ones(n + 1, dtype=np.uint64)
+    for i in range(n):
+        prefix[i + 1] = gl.np_mulmod(prefix[i], vals[i])
+    total_inv = np.uint64(gl.h_inv(int(prefix[n])))
+    out = np.zeros(n, dtype=np.uint64)
+    acc = total_inv
+    for i in range(n - 1, -1, -1):
+        out[i] = gl.np_mulmod(acc, prefix[i])
+        acc = gl.np_mulmod(acc, vals[i])
+    return out
+
+
+def _comp_aux(air: Air, shift: int, b_rows: tuple) -> tuple:
+    """Host-precomputed coset denominators/factors for the composition.
+
+    These MUST enter the jit as arguments, not be computed inside it from
+    iota: XLA's constant folder would evaluate the whole powers ladder +
+    batch inversion in its slow HLO interpreter at compile time (observed
+    >10 min compiles)."""
+    key = ("aux", shift, b_rows)
+    cache = air.__dict__.setdefault("_jit_cache", {})
+    if key in cache:
+        return cache[key]
+    n, B = air.n, air.ext_blowup
+    m = n * B
+    w_m = gl.primitive_root_of_unity(m)
+    x = gl.np_mulmod(gl.powers_np(w_m, m), np.uint64(shift % gl.P))
+    # Z_H(x) = x^n - 1 on the coset has period B: shift^n*(w^n)^j - 1
+    wn = gl.h_pow(w_m, n)
+    zh_pat = np.array(
+        [
+            (gl.h_mul(gl.h_pow(shift, n), gl.h_pow(wn, j)) - 1) % gl.P
+            for j in range(B)
+        ],
+        dtype=np.uint64,
+    )
+    zh_inv = np.tile(_np_batch_inv(zh_pat), m // B)
+    w_last = gl.h_pow(gl.primitive_root_of_unity(n), n - 1)
+    last_fac = gl.np_submod(x, np.uint64(w_last))
+    b_inv_np = {}
+    # one vectorized prefix/suffix batch inversion per boundary row
+    for r in b_rows:
+        den = gl.np_submod(x, np.uint64(gl.h_pow(gl.primitive_root_of_unity(n), r)))
+        # log-doubling cumulative product
+        cum = den.copy()
+        shift_k = 1
+        while shift_k < m:
+            shifted = np.ones(m, dtype=np.uint64)
+            shifted[shift_k:] = cum[:-shift_k]
+            cum = gl.np_mulmod(cum, shifted)
+            shift_k *= 2
+        total_inv = np.uint64(gl.h_inv(int(cum[-1])))
+        # suffix product of elements AFTER i: cum_all / cum[i] — compute via
+        # reversed log-doubling instead of division
+        rcum = den[::-1].copy()
+        shift_k = 1
+        while shift_k < m:
+            shifted = np.ones(m, dtype=np.uint64)
+            shifted[shift_k:] = rcum[:-shift_k]
+            rcum = gl.np_mulmod(rcum, shifted)
+            shift_k *= 2
+        suffix = rcum[::-1]  # product of den[i:]
+        prefix_excl = np.ones(m, dtype=np.uint64)
+        prefix_excl[1:] = cum[:-1]
+        suffix_excl = np.ones(m, dtype=np.uint64)
+        suffix_excl[:-1] = suffix[1:]
+        b_inv_np[r] = gl.np_mulmod(
+            gl.np_mulmod(prefix_excl, suffix_excl), total_inv
+        )
+    out = (
+        gl.from_int(zh_inv),
+        gl.from_int(last_fac),
+        {r: gl.from_int(v) for r, v in b_inv_np.items()},
+    )
+    cache[key] = out
+    return out
+
+
+GROUP_SIZE = 3  # constraints per composition sub-graph (XLA CPU compile
+# time grows superlinearly with constraint count per module: 3 cons ≈ 2s,
+# 10 cons ≈ 90s — measured on the recursion verifier AIR)
+
+
+def _composition_jit(air: Air, shift: int, b_struct: tuple):
+    """Cached jitted constraint composition: a handful of small jitted
+    sub-graphs (GROUP_SIZE constraints each) summed on device, plus one
+    stacked boundary-quotient family."""
+    key = ("comp", shift, b_struct)
+    cache = air.__dict__.setdefault("_jit_cache", {})
+    if key in cache:
+        return cache[key]
+    import jax
+
+    n, B, C = air.n, air.ext_blowup, air.n_cols
+    m = n * B
+    b_rows = tuple(sorted({r for _, r in b_struct}))
+    zh_inv, last_fac, b_inv = _comp_aux(air, shift, b_rows)
+    per = air.periodic_lde(shift)
+    # stacked boundary data: inverse denominators + column gather order
+    b_cols = [col for col, _ in b_struct]
+    if b_struct:
+        b_inv_stk = gl.stack([b_inv[row] for _, row in b_struct], axis=0)
+
+    offs = []
+    off = 0
+    for c in air.constraints:
+        offs.append(off)
+        off += c.arity
+    n_con_alphas = off
+
+    def make_group(cons_off):
+        @jax.jit
+        def g(lde_cols: GF, alphas: GF, zh_inv: GF, last_fac: GF, per):
+            alg = DevAlg((m,))
+            cur = [GF(lde_cols.lo[c], lde_cols.hi[c]) for c in range(C)]
+            nxt = [GF(jnp.roll(v.lo, -B), jnp.roll(v.hi, -B)) for v in cur]
+            comp = gl.zeros((m,))
+            for c, off in cons_off:
+                v = c.fn(alg, cur, nxt, per)  # (m,) or (arity, m)
+                if c.domain == "transition":
+                    q = gl.mul(gl.mul(v, last_fac), zh_inv)
+                elif c.domain == "all":
+                    q = gl.mul(v, zh_inv)
+                else:
+                    raise ValueError(f"unknown constraint domain {c.domain!r}")
+                if c.arity == 1:
+                    a_i = gl.take(alphas, off)
+                    comp = gl.add(comp, gl.mul(q, GF(a_i.lo[None], a_i.hi[None])))
+                else:
+                    a_k = GF(
+                        alphas.lo[off : off + c.arity, None],
+                        alphas.hi[off : off + c.arity, None],
+                    )
+                    comp = gl.add(comp, alg.sum0(gl.mul(q, a_k)))
+            return comp
+
+        return g
+
+    pairs = list(zip(air.constraints, offs))
+    groups = [
+        make_group(tuple(pairs[i : i + GROUP_SIZE]))
+        for i in range(0, len(pairs), GROUP_SIZE)
+    ]
+
+    @jax.jit
+    def bound_family(lde_cols: GF, alphas: GF, bvals: GF, b_inv_stk: GF):
+        alg = DevAlg((m,))
+        rows = gl.stack(
+            [GF(lde_cols.lo[c], lde_cols.hi[c]) for c in b_cols], axis=0
+        )  # (n_b, m)
+        v = gl.sub(rows, GF(bvals.lo[:, None], bvals.hi[:, None]))
+        q = gl.mul(v, b_inv_stk)
+        a_k = GF(
+            alphas.lo[n_con_alphas :, None], alphas.hi[n_con_alphas :, None]
+        )
+        return alg.sum0(gl.mul(q, a_k))
+
+    @jax.jit
+    def add2(a: GF, b: GF) -> GF:
+        return gl.add(a, b)
+
+    def wrapper(lde_cols: GF, alphas: GF, bvals: GF) -> GF:
+        comp = None
+        for g in groups:
+            part = g(lde_cols, alphas, zh_inv, last_fac, per)
+            comp = part if comp is None else add2(comp, part)
+        if b_struct:
+            comp = add2(comp, bound_family(lde_cols, alphas, bvals, b_inv_stk))
+        return comp
+
+    cache[key] = wrapper
+    return wrapper
+
+
 def prove(
     air: Air,
     trace_rows: GF,
@@ -206,10 +520,9 @@ def prove(
     B = air.ext_blowup
     m = n * B
 
-    # --- trace interpolation + LDE + commit (one batched NTT) --------------
-    cols = _columns(trace_rows)  # (C, n)
-    coeffs = nttm.intt_auto(cols)
-    lde_cols = nttm.lde(coeffs, B, shift)  # (C, m)
+    # --- trace interpolation + LDE + commit (one batched, jitted NTT) -------
+    lde_fn = _lde_jit(air, shift)
+    lde_cols = lde_fn(_columns(trace_rows))  # (C, m)
     rows = GF(lde_cols.lo.T, lde_cols.hi.T)  # (m, C)
     tree = merkle.commit_leaves(rows, prefer_host=False)
 
@@ -219,44 +532,17 @@ def prove(
         "boundary", [v for b in boundaries for v in (b.col, b.row, b.value % gl.P)]
     )
     transcript.absorb("trace-root", tree.root())
-    n_alphas = len(air.constraints) + len(boundaries)
+    n_alphas = sum(c.arity for c in air.constraints) + len(boundaries)
     alphas = transcript.challenges("alpha", n_alphas)
 
-    # --- constraint evaluation on the LDE coset -----------------------------
-    alg = DevAlg((m,))
-    cur = [GF(lde_cols.lo[c], lde_cols.hi[c]) for c in range(C)]
-    nxt = [GF(jnp.roll(v.lo, -B), jnp.roll(v.hi, -B)) for v in cur]
-    per = air.periodic_lde(shift)
-
-    w_last = gl.h_pow(gl.primitive_root_of_unity(n), n - 1)
-    x_arr = gl.mul(gl.powers(gl.primitive_root_of_unity(m), m), gl.full((m,), shift))
-    zh = gl.sub(gl.pow_const(x_arr, n), gl.ones((m,)))
-
-    # batch-invert every denominator at once
-    b_rows = sorted({b.row for b in boundaries})
-    dens = [zh] + [
-        gl.sub(x_arr, gl.full((m,), gl.h_pow(gl.primitive_root_of_unity(n), r)))
-        for r in b_rows
-    ]
-    den_inv = gl.batch_inv(gl.stack(dens, axis=0))
-    zh_inv = gl.take(den_inv, 0, axis=0)
-    b_inv = {r: gl.take(den_inv, 1 + i, axis=0) for i, r in enumerate(b_rows)}
-
-    last_fac = gl.sub(x_arr, gl.full((m,), w_last))
-    comp = gl.zeros((m,))
-    for i, c in enumerate(air.constraints):
-        v = c.fn(alg, cur, nxt, per)
-        if c.domain == "transition":
-            q = gl.mul(gl.mul(v, last_fac), zh_inv)
-        elif c.domain == "all":
-            q = gl.mul(v, zh_inv)
-        else:
-            raise ValueError(f"unknown constraint domain {c.domain!r}")
-        comp = gl.add(comp, gl.mul(q, gl.full((m,), alphas[i])))
-    for j, b in enumerate(boundaries):
-        v = gl.sub(cur[b.col], gl.full((m,), b.value % gl.P))
-        q = gl.mul(v, b_inv[b.row])
-        comp = gl.add(comp, gl.mul(q, gl.full((m,), alphas[len(air.constraints) + j])))
+    # --- constraint composition (one jitted graph, cached per air/shape) ----
+    b_struct = tuple((b.col, b.row) for b in boundaries)
+    comp_fn = _composition_jit(air, shift, b_struct)
+    alphas_gf = gl.from_int(np.array(alphas, dtype=np.uint64))
+    bvals_gf = gl.from_int(
+        np.array([b.value % gl.P for b in boundaries], dtype=np.uint64)
+    )
+    comp = comp_fn(lde_cols, alphas_gf, bvals_gf)
 
     # --- FRI + trace openings ------------------------------------------------
     fri_out = fri.fri_prove(comp, shift, transcript, air.fri_params(num_queries))
@@ -333,7 +619,8 @@ def verify(
         "boundary", [v for b in boundaries for v in (b.col, b.row, b.value % gl.P)]
     )
     transcript.absorb("trace-root", root)
-    n_alphas = len(air.constraints) + len(boundaries)
+    n_con_alphas = sum(c.arity for c in air.constraints)
+    n_alphas = n_con_alphas + len(boundaries)
     alphas = transcript.challenges("alpha", n_alphas)
 
     ok, layer0 = fri.fri_verify(proof["fri"], transcript, air.fri_params(num_queries))
@@ -359,17 +646,25 @@ def verify(
         zh_inv = gl.h_inv(zh)
         comp = 0
         last_fac = (x - w_last) % gl.P
-        for i, c in enumerate(air.constraints):
+        off = 0
+        for c in air.constraints:
             v = c.fn(alg, cur_vals, nxt_vals, per_vals)
-            if c.domain == "transition":
-                q = v * last_fac % gl.P * zh_inv % gl.P
-            else:
-                q = v * zh_inv % gl.P
-            comp = (comp + alphas[i] * q) % gl.P
+            vals = (
+                [int(x_) for x_ in np.atleast_1d(np.asarray(v, dtype=np.uint64))]
+            )
+            if len(vals) != c.arity:
+                raise ValueError(f"{c.name}: arity mismatch")
+            for i, vi in enumerate(vals):
+                if c.domain == "transition":
+                    q = vi * last_fac % gl.P * zh_inv % gl.P
+                else:
+                    q = vi * zh_inv % gl.P
+                comp = (comp + alphas[off + i] * q) % gl.P
+            off += c.arity
         for j, b in enumerate(boundaries):
             den = (x - gl.h_pow(w_n, b.row)) % gl.P
-            q = (cur_vals[b.col] - b.value) % gl.P * gl.h_inv(den) % gl.P
-            comp = (comp + alphas[len(air.constraints) + j] * q) % gl.P
+            q = (int(cur_vals[b.col]) - b.value) % gl.P * gl.h_inv(den) % gl.P
+            comp = (comp + alphas[n_con_alphas + j] * q) % gl.P
         return comp
 
     for qi, (rows_open, (jj, u_val, v_val)) in enumerate(

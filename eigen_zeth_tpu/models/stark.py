@@ -76,10 +76,18 @@ def build_trace(data: list[int], iv: int, n: int | None = None):
     return d, a, a[-1]
 
 
-def prove_chunk(data: list[int], iv: int, params: StarkParams | None = None) -> dict:
-    """Produce a chunk STARK proof for the rolling hash of `data`."""
+def prove_chunk(
+    data: list[int],
+    iv: int,
+    params: StarkParams | None = None,
+    n_rows: int | None = None,
+) -> dict:
+    """Produce a chunk STARK proof for the rolling hash of `data`.
+
+    n_rows fixes the trace size (recursion needs a uniform circuit shape
+    across chunks — models/recursion.py)."""
     params = params or StarkParams()
-    d_col, a_col, out = build_trace(data, iv)
+    d_col, a_col, out = build_trace(data, iv, n=n_rows)
     n = len(d_col)
     m = n * params.blowup
     gamma = chunk_gamma()

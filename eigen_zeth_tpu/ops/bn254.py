@@ -419,6 +419,64 @@ def h_ec_mul(k: int, p, F=HOST_FQ):
     return acc
 
 
+def h_ec_mul_jac(k: int, p):
+    """G1 scalar multiply in Jacobian coordinates — ONE field inversion
+    total instead of one per bit (h_ec_mul's affine ladder pays a 254-bit
+    modexp per step; this is the bulk path for test/bench point sets)."""
+    if p is None or k % R == 0:
+        return None
+    k %= R
+    x2, y2 = p  # affine base (Z=1) for mixed additions
+    X1 = Y1 = Z1 = None  # infinity
+
+    def dbl(X, Y, Z):
+        A = X * X % Q
+        B = Y * Y % Q
+        C = B * B % Q
+        D = 2 * ((X + B) * (X + B) - A - C) % Q
+        E = 3 * A % Q
+        F_ = E * E % Q
+        X3 = (F_ - 2 * D) % Q
+        Y3 = (E * (D - X3) - 8 * C) % Q
+        Z3 = 2 * Y * Z % Q
+        return X3, Y3, Z3
+
+    def madd(X, Y, Z):  # (X,Y,Z) + (x2,y2,1), Z != 0
+        Z1Z1 = Z * Z % Q
+        U2 = x2 * Z1Z1 % Q
+        S2 = y2 * Z * Z1Z1 % Q
+        H = (U2 - X) % Q
+        r = (S2 - Y) % Q
+        if H == 0:
+            if r == 0:
+                return dbl(X, Y, Z)
+            return None  # infinity
+        HH = H * H % Q
+        HHH = H * HH % Q
+        V = X * HH % Q
+        X3 = (r * r - HHH - 2 * V) % Q
+        Y3 = (r * (V - X3) - Y * HHH) % Q
+        Z3 = Z * H % Q
+        return X3, Y3, Z3
+
+    for bit in bin(k)[2:]:
+        if X1 is not None:
+            X1, Y1, Z1 = dbl(X1, Y1, Z1)
+        if bit == "1":
+            if X1 is None:
+                X1, Y1, Z1 = x2, y2, 1
+            else:
+                out = madd(X1, Y1, Z1)
+                if out is None:
+                    return None
+                X1, Y1, Z1 = out
+    if X1 is None:
+        return None
+    zi = pow(Z1, Q - 2, Q)
+    zi2 = zi * zi % Q
+    return (X1 * zi2 % Q, Y1 * zi2 * zi % Q)
+
+
 def h_on_curve_g1(p) -> bool:
     if p is None:
         return True

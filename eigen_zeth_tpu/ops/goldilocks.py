@@ -315,6 +315,7 @@ def h_mul(a: int, b: int) -> int:
 
 # --- vectorized numpy field mul (trace-safe twiddle/constant generation) ---
 
+np.seterr(over="ignore")  # uint64 wraparound is intentional in np_mulmod/np_addmod
 _M32 = np.uint64(0xFFFFFFFF)
 _U32 = np.uint64(32)
 

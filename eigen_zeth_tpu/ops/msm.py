@@ -648,8 +648,8 @@ def gen_test_points(n_log2: int, seed: int = 5):
     rng = np.random.default_rng(seed)
     ka = [int(x) for x in rng.integers(1, 1 << 60, size=na, dtype=np.int64)]
     kb = [int(x) << 61 for x in rng.integers(1, 1 << 60, size=nb, dtype=np.int64)]
-    A = [bn254.h_ec_mul(k, bn254.G1_GEN) for k in ka]
-    B = [bn254.h_ec_mul(k, bn254.G1_GEN) for k in kb]
+    A = [bn254.h_ec_mul_jac(k, bn254.G1_GEN) for k in ka]
+    B = [bn254.h_ec_mul_jac(k, bn254.G1_GEN) for k in kb]
     F = bn254.FqOps()
     ax = F.ctx.from_int([p[0] for p in A]).reshape(16, na, 1)
     ay = F.ctx.from_int([p[1] for p in A]).reshape(16, na, 1)

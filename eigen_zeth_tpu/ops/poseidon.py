@@ -28,6 +28,7 @@ from __future__ import annotations
 import functools
 import hashlib
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -147,31 +148,40 @@ def _sbox(x: GF) -> GF:
 
 
 def perm(state: GF) -> GF:
-    """Poseidon permutation; state shape (..., 12), vectorized over batch."""
+    """Poseidon permutation; state shape (..., 12), vectorized over batch.
+
+    One lax.scan over the 30 rounds (round constants + full/partial flag
+    scanned in): the traced graph is ONE round body, not 30 unrolled
+    rounds — the unrolled form made Merkle-commit graphs take minutes of
+    XLA compile once leaves grew to 100+ columns (14 chained perms)."""
     assert state.lo.shape[-1] == WIDTH
     rc, mds = _device_constants()
     half = FULL_ROUNDS // 2
-    for r in range(N_ROUNDS):
-        c = GF(rc.lo[r], rc.hi[r])
-        state = gl.add(state, GF(jnp.broadcast_to(c.lo, state.lo.shape),
-                                 jnp.broadcast_to(c.hi, state.hi.shape)))
-        if half <= r < half + PARTIAL_ROUNDS:
-            lane0 = GF(state.lo[..., 0], state.hi[..., 0])
-            s0 = _sbox(lane0)
-            state = GF(
-                state.lo.at[..., 0].set(s0.lo), state.hi.at[..., 0].set(s0.hi)
-            )
-        else:
-            state = _sbox(state)
-        # MDS: out_i = sum_j M[i,j] * s_j   — (..., 1, 12) x (12, 12)
-        sb = GF(state.lo[..., None, :], state.hi[..., None, :])
-        prod = gl.mul(
-            GF(jnp.broadcast_to(sb.lo, sb.lo.shape[:-2] + (WIDTH, WIDTH)),
-               jnp.broadcast_to(sb.hi, sb.hi.shape[:-2] + (WIDTH, WIDTH))),
-            GF(jnp.broadcast_to(mds.lo, sb.lo.shape[:-2] + (WIDTH, WIDTH)),
-               jnp.broadcast_to(mds.hi, sb.hi.shape[:-2] + (WIDTH, WIDTH))),
+    is_full = jnp.asarray(
+        np.array(
+            [not (half <= r < half + PARTIAL_ROUNDS) for r in range(N_ROUNDS)]
         )
-        state = _sum_last_axis(prod)
+    )
+
+    def body(st: GF, inp):
+        c, full_r = inp
+        st = gl.add(st, GF(jnp.broadcast_to(c.lo, st.lo.shape),
+                           jnp.broadcast_to(c.hi, st.hi.shape)))
+        sb_all = _sbox(st)
+        # partial rounds sbox lane 0 only: select per round
+        lane_mask = jnp.arange(WIDTH) == 0
+        keep = jnp.logical_or(full_r, lane_mask)
+        sb = gl.select(keep, sb_all, st)
+        m2 = GF(sb.lo[..., None, :], sb.hi[..., None, :])
+        prod = gl.mul(
+            GF(jnp.broadcast_to(m2.lo, m2.lo.shape[:-2] + (WIDTH, WIDTH)),
+               jnp.broadcast_to(m2.hi, m2.hi.shape[:-2] + (WIDTH, WIDTH))),
+            GF(jnp.broadcast_to(mds.lo, m2.lo.shape[:-2] + (WIDTH, WIDTH)),
+               jnp.broadcast_to(mds.hi, m2.hi.shape[:-2] + (WIDTH, WIDTH))),
+        )
+        return _sum_last_axis(prod), None
+
+    state, _ = jax.lax.scan(body, state, (GF(rc.lo, rc.hi), is_full))
     return state
 
 

@@ -61,6 +61,7 @@ from .messages import (
 )
 
 CHUNK_FIELD_ELEMS = 120  # data elements per chunk (< one trace of 128)
+CHUNK_TRACE_ROWS = 128  # uniform chunk trace size (recursion circuit shape)
 
 
 @dataclass
@@ -163,9 +164,34 @@ class BatchProver:
         groth16_seed: str = "ezt-groth16-dev",
         use_jit: bool = True,
         mesh=None,  # jax.sharding.Mesh with a 'chunk' axis -> chunk DP
+        recursion: bool = True,
+        chunk_trace_rows: Optional[int] = None,
+        agg_queries: int = 30,  # query count of the aggregation STARK itself
     ):
         self.executor = executor or SyntheticExecutor()
-        self.stark_params = stark_params or stark.StarkParams()
+        self.recursion = recursion
+        self.agg_queries = agg_queries
+        if recursion:
+            # recursion needs a uniform circuit shape and zero-layer FRI
+            # (terminal >= the chunk LDE domain) so the verifier AIR's
+            # program is fixed per (trace size, query count)
+            self.chunk_trace_rows = chunk_trace_rows or CHUNK_TRACE_ROWS
+            self.stark_params = stark_params or stark.StarkParams(
+                blowup=4, num_queries=32,
+                terminal_size=4 * self.chunk_trace_rows,
+            )
+            assert (
+                self.stark_params.terminal_size
+                >= self.stark_params.blowup * self.chunk_trace_rows
+            ), "recursion requires zero-layer FRI chunk params"
+        else:
+            self.chunk_trace_rows = chunk_trace_rows
+            self.stark_params = stark_params or stark.StarkParams()
+        self.chunk_elems = (
+            min(CHUNK_FIELD_ELEMS, self.chunk_trace_rows - 1)
+            if self.chunk_trace_rows
+            else CHUNK_FIELD_ELEMS
+        )
         self.use_jit = use_jit
         self.mesh = mesh
         self._r1cs = groth16.wrap_circuit()
@@ -179,7 +205,7 @@ class BatchProver:
         try:
             ex = self.executor.execute(block_numbers, chain_id)
             elems = bytes_to_field_elements(ex.batch_data)
-            chunk_count = max(1, -(-len(elems) // CHUNK_FIELD_ELEMS))
+            chunk_count = max(1, -(-len(elems) // self.chunk_elems))
             return GenBatchChunksResult(
                 batch_id=batch_id,
                 task_id=make_task_id(block_numbers[0]),
@@ -216,7 +242,7 @@ class BatchProver:
             data = base64.b64decode(batch_data)
             elems = bytes_to_field_elements(data)
             chunks = [
-                elems[i * CHUNK_FIELD_ELEMS : (i + 1) * CHUNK_FIELD_ELEMS]
+                elems[i * self.chunk_elems : (i + 1) * self.chunk_elems]
                 for i in range(chunk_count)
             ]
             ivs = [
@@ -231,11 +257,15 @@ class BatchProver:
                 from ..models import stark_batch
 
                 starks = stark_batch.prove_chunks(
-                    chunks, ivs, self.stark_params, mesh=self.mesh
+                    chunks, ivs, self.stark_params,
+                    n=self.chunk_trace_rows, mesh=self.mesh,
                 )
             else:
                 starks = [
-                    stark.prove_chunk(chunk, iv, self.stark_params)
+                    stark.prove_chunk(
+                        chunk, iv, self.stark_params,
+                        n_rows=self.chunk_trace_rows,
+                    )
                     for chunk, iv in zip(chunks, ivs)
                 ]
             proofs = [
@@ -265,14 +295,37 @@ class BatchProver:
     def gen_aggregated_proof(
         self, batch_id: str, recursive_proof_1: str, recursive_proof_2: str
     ) -> GenAggregatedProofResult:
+        """Aggregate two recursive proofs.
+
+        With recursion on (the default), each chunk child is replaced by a
+        verifier-AIR attestation STARK (models/recursion.py) proving "this
+        chunk proof verifies" — the aggregated proof attests child validity
+        cryptographically; NOBODY downstream re-runs chunk verification.
+        Building an attestation for an invalid chunk proof fails (the
+        transcribed trace violates the verifier AIR), so this step doubles
+        as the aggregator's own validity check.  Without recursion, falls
+        back to round-1 semantics (host-verify + digest chain)."""
         try:
-            d1 = self._validate_recursive(recursive_proof_1)
-            d2 = self._validate_recursive(recursive_proof_2)
+            kids = []
+            for raw in (recursive_proof_1, recursive_proof_2):
+                node = json.loads(raw)
+                if self.recursion and node.get("type") == "chunk":
+                    from ..models import recursion as rec
+
+                    att = rec.attest_chunk(
+                        node["stark"], num_queries_agg=self.agg_queries
+                    )
+                    kids.append(att)
+                else:
+                    self._validate_recursive(raw)
+                    kids.append(node)
+            d1 = self._digest_of(kids[0])
+            d2 = self._digest_of(kids[1])
             digest = poseidon.hash_two_host(d1, d2)
             agg = {
                 "type": "aggregated",
                 "digest": [str(x) for x in digest],
-                "children": [json.loads(recursive_proof_1), json.loads(recursive_proof_2)],
+                "children": kids,
             }
             return GenAggregatedProofResult(
                 batch_id=batch_id,
@@ -286,13 +339,27 @@ class BatchProver:
                 error_message=str(e),
             )
 
+    @staticmethod
+    def _digest_of(node: dict) -> List[int]:
+        if node.get("type") == "chunk":
+            return chunk_digest(node["stark"])
+        if node.get("type") == "chunk-attested":
+            return chunk_digest(node["header"])
+        return [int(x) for x in node["digest"]]
+
     def _validate_recursive(self, raw: str) -> List[int]:
-        """Verify a chunk/aggregated proof; return its digest."""
+        """Verify a chunk/attested/aggregated proof; return its digest.
+        Attested chunks are checked via their verifier-AIR STARK — the
+        chunk proof's own openings are NOT re-verified here."""
         node = json.loads(raw)
         if node.get("type") == "chunk":
             if not stark.verify_chunk(node["stark"], self.stark_params):
                 raise ValueError("invalid chunk proof")
             return chunk_digest(node["stark"])
+        if node.get("type") == "chunk-attested":
+            from ..models import recursion as rec
+
+            return rec.verify_attestation(node)  # raises on failure
         if node.get("type") == "aggregated":
             d1 = self._validate_recursive(json.dumps(node["children"][0]))
             d2 = self._validate_recursive(json.dumps(node["children"][1]))

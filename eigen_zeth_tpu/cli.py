@@ -179,10 +179,12 @@ def cmd_prover(args, wait: bool = True):
     env = global_env()
     l2_addr = args.l2_addr or env.l2_addr
     executor = ChainExecutor(JsonRpcClient(l2_addr))
+    # test profile: tiny non-zero-layer params (recursion auto-disables);
+    # default profile: BatchProver's own recursion-compatible defaults
     params = (
         stark.StarkParams(blowup=4, num_queries=2, terminal_size=16)
         if args.stark_profile == "test"
-        else stark.StarkParams()
+        else None
     )
     # test profile implies eager: XLA CPU compiles of the EC graphs are
     # prohibitively slow for CI-scale proving

@@ -164,11 +164,22 @@ class BatchProver:
         groth16_seed: str = "ezt-groth16-dev",
         use_jit: bool = True,
         mesh=None,  # jax.sharding.Mesh with a 'chunk' axis -> chunk DP
-        recursion: bool = True,
+        recursion: Optional[bool] = None,
         chunk_trace_rows: Optional[int] = None,
         agg_queries: int = 30,  # query count of the aggregation STARK itself
     ):
         self.executor = executor or SyntheticExecutor()
+        if recursion is None:
+            # auto: recursive aggregation whenever the chunk params are
+            # zero-layer compatible (always true for the defaults);
+            # explicitly-passed non-zero-layer params fall back to the
+            # digest-attestation aggregation
+            n_rows = chunk_trace_rows or CHUNK_TRACE_ROWS
+            recursion = stark_params is None or (
+                stark_params.terminal_size >= stark_params.blowup * n_rows
+                and stark_params.blowup == 4
+                and n_rows >= 8
+            )
         self.recursion = recursion
         self.agg_queries = agg_queries
         if recursion:

@@ -66,3 +66,79 @@ def test_msm_window_sums_distributed_structure():
     got = msm_dist_int_mock(m, jnp.asarray(values), digits, c=c)
     expect = sum(int(v) * s for v, s in zip(values, scalars)) % (1 << 32)
     assert int(np.asarray(got)) == expect
+
+
+@__import__("pytest").mark.slow
+def test_msm_dist_real_ec_g1_full():
+    """FULL distributed MSM with real BN254 G1 points, fused jit over the
+    8-device mesh (slow: the one-time XLA CPU compile of the EC shard_map
+    graph runs ~tens of minutes; cached in .jax_cache afterwards).  The
+    default suite covers the same path with test_msm_dist_allreduce_real_ec
+    (the EC collective alone) + the IntGroup structural test above."""
+    from eigen_zeth_tpu.ops import bn254
+    from eigen_zeth_tpu.ops import msm as msmm
+    from eigen_zeth_tpu.ops.bn254 import G1_GEN, from_affine, to_affine
+    from eigen_zeth_tpu.parallel.msm_dist import msm_dist
+
+    m = meshm.make_mesh()
+    n, c, nbits = 32, 4, 4
+    dlogs = [int(k) for k in RNG.integers(1, 1 << 60, size=n)]
+    pts_int = [bn254.h_ec_mul_jac(k, G1_GEN) for k in dlogs]
+    F = bn254.FqOps()
+    xs = F.ctx.from_int([p[0] for p in pts_int])
+    ys = F.ctx.from_int([p[1] for p in pts_int])
+    pts = from_affine(F, xs, ys, is_inf=jnp.zeros((n,), bool))
+    scalars = [int(s) for s in RNG.integers(1, 1 << nbits, size=n)]
+    digits = jnp.asarray(msmm.scalar_digits(scalars, c=c, nbits=nbits))
+    S = msm_dist(msmm.ECGroup(F), pts, digits, m, c=c, use_jit=True)
+    ax, ay = to_affine(F, S)
+    got = (int(F.to_int(ax)), int(F.to_int(ay)))
+    k = sum(d * s for d, s in zip(dlogs, scalars)) % bn254.R
+    want = bn254.h_ec_mul_jac(k, G1_GEN)
+    assert got == want
+
+
+def test_msm_dist_allreduce_real_ec():
+    """The distributed MSM's cross-device reduction (_allreduce_group, the
+    EC psum analog) executed with REAL BN254 G1 points on the 8-device
+    mesh — the piece the round-1 suite only covered with the IntGroup mock
+    (VERDICT item 5; it hid a limb-axis all_gather bug).  Each device
+    holds one partial MSM sum; the collective must reproduce the host
+    total.  Kept small so the EC collective graph compiles in ~a minute;
+    the full fused pipeline runs under -m slow."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+    from eigen_zeth_tpu.ops import bn254
+    from eigen_zeth_tpu.ops import msm as msmm
+    from eigen_zeth_tpu.ops.bn254 import G1_GEN, PointJ, from_affine, to_affine
+    from eigen_zeth_tpu.parallel.msm_dist import _allreduce_group
+
+    m = meshm.make_mesh()
+    d = len(jax.devices())
+    dlogs = [int(k) for k in RNG.integers(1, 1 << 60, size=d)]
+    pts_int = [bn254.h_ec_mul_jac(k, G1_GEN) for k in dlogs]
+    F = bn254.FqOps()
+    xs = F.ctx.from_int([p[0] for p in pts_int])  # (16, d)
+    ys = F.ctx.from_int([p[1] for p in pts_int])
+    pts = from_affine(F, xs, ys, is_inf=jnp.zeros((d,), bool))
+    G = msmm.ECGroup(F)
+
+    def local(p):
+        one = jax.tree_util.tree_map(lambda l: l[..., 0], p)
+        return _allreduce_group(G, one, meshm.DOMAIN_AXIS)
+
+    spec = jax.tree_util.tree_map(
+        lambda l: P(*([None] * (l.ndim - 1) + [meshm.DOMAIN_AXIS])), pts
+    )
+    fn = jax.jit(
+        shard_map(
+            local, mesh=m, in_specs=(spec,),
+            out_specs=jax.tree_util.tree_map(lambda _: P(), pts),
+            check_vma=False,
+        )
+    )
+    S = fn(pts)
+    ax, ay = to_affine(F, S)
+    got = (int(F.to_int(ax)), int(F.to_int(ay)))
+    want = bn254.h_ec_mul_jac(sum(dlogs) % bn254.R, G1_GEN)
+    assert got == want

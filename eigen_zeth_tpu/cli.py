@@ -189,7 +189,8 @@ def cmd_prover(args, wait: bool = True):
     # test profile implies eager: XLA CPU compiles of the EC graphs are
     # prohibitively slow for CI-scale proving
     use_jit = not (args.no_jit or args.stark_profile == "test")
-    prover = BatchProver(executor=executor, stark_params=params, use_jit=use_jit)
+    wrap = "linear" if args.stark_profile == "test" else "mimc"
+    prover = BatchProver(executor=executor, stark_params=params, use_jit=use_jit, wrap=wrap)
     server = ProverServiceServer(prover, host=args.host, port=args.port).start()
     log.info("prover service listening on %s:%d (l2=%s)", args.host, server.port, l2_addr)
     if wait:  # pragma: no cover - interactive path

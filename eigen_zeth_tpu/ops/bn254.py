@@ -477,6 +477,72 @@ def h_ec_mul_jac(k: int, p):
     return (X1 * zi2 % Q, Y1 * zi2 * zi % Q)
 
 
+def h_ec_mul_jac_f(k: int, p, F=HOST_FQ):
+    """Field-generic Jacobian scalar multiply (G1 via HOST_FQ, G2 via
+    HOST_FQ2) — one inversion total; h_ec_mul's affine ladder pays a
+    field inversion per bit, which dominates CRS generation for
+    1000+-variable circuits (models/groth16.setup)."""
+    if p is None or k % R == 0:
+        return None
+    k %= R
+    x2, y2 = p
+
+    def dbl(X, Y, Z):
+        A = F.mul(X, X)
+        B = F.mul(Y, Y)
+        C = F.mul(B, B)
+        xb = F.add(X, B)
+        D = F.sub(F.sub(F.mul(xb, xb), A), C)
+        D = F.add(D, D)
+        E = F.add(F.add(A, A), A)
+        F_ = F.mul(E, E)
+        X3 = F.sub(F_, F.add(D, D))
+        C8 = F.add(C, C)
+        C8 = F.add(C8, C8)
+        C8 = F.add(C8, C8)
+        Y3 = F.sub(F.mul(E, F.sub(D, X3)), C8)
+        Z3 = F.mul(F.add(Y, Y), Z)
+        return X3, Y3, Z3
+
+    def madd(X, Y, Z):  # + (x2, y2, 1)
+        ZZ = F.mul(Z, Z)
+        U2 = F.mul(x2, ZZ)
+        S2 = F.mul(F.mul(y2, Z), ZZ)
+        H = F.sub(U2, X)
+        r = F.sub(S2, Y)
+        if F.is_zero(H):
+            if F.is_zero(r):
+                return dbl(X, Y, Z)
+            return None
+        HH = F.mul(H, H)
+        HHH = F.mul(H, HH)
+        V = F.mul(X, HH)
+        X3 = F.sub(F.sub(F.mul(r, r), HHH), F.add(V, V))
+        Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.mul(Y, HHH))
+        Z3 = F.mul(Z, H)
+        return X3, Y3, Z3
+
+    one = (1, 0) if F is HOST_FQ2 else 1
+    acc = None
+    for bit in bin(k)[2:]:
+        if acc is not None:
+            acc = dbl(*acc)
+        if bit == "1":
+            if acc is None:
+                acc = (x2, y2, one)
+            else:
+                out = madd(*acc)
+                if out is None:
+                    return None
+                acc = out
+    if acc is None:
+        return None
+    X1, Y1, Z1 = acc
+    zi = F.inv(Z1)
+    zi2 = F.mul(zi, zi)
+    return (F.mul(X1, zi2), F.mul(Y1, F.mul(zi2, zi)))
+
+
 def h_on_curve_g1(p) -> bool:
     if p is None:
         return True

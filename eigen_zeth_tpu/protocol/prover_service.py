@@ -38,6 +38,7 @@ tests.
 from __future__ import annotations
 
 import base64
+import functools as _functools
 import json
 from dataclasses import dataclass
 from typing import Callable, List, Optional
@@ -167,6 +168,7 @@ class BatchProver:
         recursion: Optional[bool] = None,
         chunk_trace_rows: Optional[int] = None,
         agg_queries: int = 30,  # query count of the aggregation STARK itself
+        wrap: str = "mimc",  # final-wrap circuit: "mimc" | "linear"
     ):
         self.executor = executor or SyntheticExecutor()
         if recursion is None:
@@ -205,8 +207,18 @@ class BatchProver:
         )
         self.use_jit = use_jit
         self.mesh = mesh
-        self._r1cs = groth16.wrap_circuit()
-        self._pk, self._vk = groth16.setup(self._r1cs, seed=groth16_seed)
+        self._groth16_seed = groth16_seed
+        # "mimc": the production wrap — the digest is MiMC-hashed INSIDE
+        # the R1CS (~1.3k constraints), so the prove MSMs run on the TPU
+        # Pippenger.  "linear": the 2-constraint packing wrap (CPU test
+        # profiles; ~20 s of CRS generation saved per process).
+        self.wrap = wrap
+        self._crs = None  # lazy: (r1cs, pk, vk), module-cached
+
+    def _groth16_crs(self):
+        if self._crs is None:
+            self._crs = _wrap_crs(self.wrap, self._groth16_seed)
+        return self._crs
 
     # -- step 1 --------------------------------------------------------------
 
@@ -402,11 +414,13 @@ class BatchProver:
             # bind the aggregator address into the wrapped digest
             addr_elems = bytes_to_field_elements(aggregator_addr.encode())
             bound = poseidon.hash_elements_host(digest + addr_elems)
-            witness, pub = groth16.wrap_witness(bound)
-            proof = groth16.prove(
-                self._pk, self._r1cs, witness, use_jit=self.use_jit
-            )
-            assert groth16.verify(self._vk, proof, [pub]), "self-check failed"
+            r1cs, pk, vk = self._groth16_crs()
+            if self.wrap == "mimc":
+                witness, pub = groth16.mimc_wrap_witness(bound)
+            else:
+                witness, pub = groth16.wrap_witness(bound)
+            proof = groth16.prove(pk, r1cs, witness, use_jit=self.use_jit)
+            assert groth16.verify(vk, proof, [pub]), "self-check failed"
             final = FinalProof(
                 proof=json.dumps(proof),
                 public_input=json.dumps([str(pub)]),
@@ -425,4 +439,19 @@ class BatchProver:
 
     @property
     def verifying_key(self) -> groth16.VerifyingKey:
-        return self._vk
+        return self._groth16_crs()[2]
+
+
+@_functools.lru_cache(maxsize=4)
+def _wrap_crs(wrap: str, seed: str):
+    """Module-cached Groth16 CRS per (wrap circuit, seed): the MiMC wrap's
+    deterministic dev setup costs ~20 s of host EC — pay it once per
+    process, not per BatchProver."""
+    if wrap == "mimc":
+        r1cs = groth16.mimc_wrap_circuit().r1cs
+    elif wrap == "linear":
+        r1cs = groth16.wrap_circuit()
+    else:
+        raise ValueError(f"unknown wrap circuit {wrap!r}")
+    pk, vk = groth16.setup(r1cs, seed=seed)
+    return r1cs, pk, vk

@@ -67,3 +67,26 @@ def test_proof_schema_matches_reference():
     pi_a, pi_b, pi_c = groth16.decode_proof(ref)
     re_encoded = groth16.encode_proof(pi_a, pi_b, pi_c)
     assert re_encoded == ref  # value-exact round trip through our codec
+
+
+def test_mimc_wrap_circuit_round_trip():
+    """The production final-wrap: the aggregated digest is MiMC-x^5
+    hashed INSIDE the R1CS (~1.3k constraints), so production
+    gen_final_proof MSMs run through the device Pippenger rather than
+    ducking under the host threshold (round-1 weak item 5).  Host-MSM
+    prove here (CPU); the TPU path shares every line but the MSM call."""
+    from eigen_zeth_tpu.models import groth16 as g
+
+    wrap = g.mimc_wrap_circuit()
+    assert len(wrap.r1cs.constraints) > 1000  # device-MSM scale
+    digest = [123456789, 987654321, 42, (1 << 63) + 5]
+    w, pub = g.mimc_wrap_witness(digest)
+    assert wrap.r1cs.is_satisfied(w)
+    assert pub == g.mimc_hash_host([d % g.R for d in digest])
+    pk, vk = g.setup(wrap.r1cs, seed="mimc-test")
+    proof = g.prove(pk, wrap.r1cs, w, use_jit=False)
+    assert g.verify(vk, proof, [pub])
+    assert not g.verify(vk, proof, [(pub + 1) % g.R])
+    # a different digest gives a different public input (binding)
+    _, pub2 = g.mimc_wrap_witness([digest[0] + 1] + digest[1:])
+    assert pub2 != pub

@@ -85,7 +85,7 @@ def test_prover_service_aggregation_is_recursive():
 
     prover = ps.BatchProver(
         stark_params=PARAMS, chunk_trace_rows=N_ROWS, agg_queries=AGG_Q,
-        use_jit=False,
+        use_jit=False, wrap="linear",
     )
     r1 = prover.gen_batch_chunks("b", [1, 2], chain_id=1, program_name="evm")
     assert r1.result_code == ProofResultCode.COMPLETED_OK
@@ -122,7 +122,7 @@ def test_tampered_sequenced_chunk_breaks_aggregation():
 
     prover = ps.BatchProver(
         stark_params=PARAMS, chunk_trace_rows=N_ROWS, agg_queries=AGG_Q,
-        use_jit=False,
+        use_jit=False, wrap="linear",
     )
     r1 = prover.gen_batch_chunks("b", [1], chain_id=1, program_name="evm")
     r2 = prover.gen_chunk_proof("b", r1.task_id, r1.chunk_count, 1, "evm",

@@ -141,6 +141,20 @@ class EigenRpcServer:
             if hasattr(self.chain, "send_raw_transaction"):
                 return self.chain.send_raw_transaction(params[0])
             raise ValueError("chain does not accept transactions")
+        if method == "eth_getTransactionReceipt":
+            if hasattr(self.chain, "get_transaction_receipt"):
+                return self.chain.get_transaction_receipt(params[0])
+            return None
+        if method == "eth_getBalance":
+            if hasattr(self.chain, "ledger"):
+                return hex(
+                    self.chain.ledger.state.get(params[0].lower()).balance
+                )
+            return "0x0"
+        if method == "eth_getCode":
+            if hasattr(self.chain, "ledger"):
+                return "0x" + self.chain.ledger.state.get(params[0].lower()).code.hex()
+            return "0x"
         raise ValueError(f"unknown method {method!r}")
 
     def start(self):

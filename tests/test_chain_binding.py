@@ -20,7 +20,7 @@ from eigen_zeth_tpu.utils import rlp
 FAST_STARK = stark.StarkParams(blowup=4, num_queries=2, terminal_size=16)
 
 TX = {
-    "nonce": "0x0", "gasPrice": "0x2", "gas": "0x5208", "from": "0x" + "11" * 20,
+    "nonce": "0x0", "gasPrice": "0x2", "gas": "0x186a0", "from": "0x" + "11" * 20,
     "to": "0x" + "22" * 20, "value": "0x5", "input": "0x",
     "chainId": "0x3039", "v": "0x1b", "r": "0x2", "s": "0x3",
 }

@@ -23,7 +23,7 @@ CFG = TxFilterConfig(bridge_contract_address=BRIDGE, bridge_asset_selector=SEL)
 def tx(to=None, value="0x1", gas_price="0x2", data="0x", sender="0xaa"):
     return {
         "from": sender, "to": to, "value": value, "gasPrice": gas_price,
-        "gas": "0x5208", "input": data, "nonce": "0x0",
+        "gas": "0x186a0", "input": data, "nonce": "0x0",
     }
 
 

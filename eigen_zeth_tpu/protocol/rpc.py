@@ -97,6 +97,22 @@ class EigenRpcServer:
             def log_message(self, *a):  # quiet
                 pass
 
+            def do_GET(self):
+                # prometheus scrape surface (reference analog: reth's
+                # --metrics socket, src/commands/reth.rs:48-49)
+                if self.path.rstrip("/") in ("/metrics", ""):
+                    from ..utils.profiling import METRICS
+
+                    data = METRICS.prometheus_text().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                    return
+                self.send_response(404)
+                self.end_headers()
+
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))
                 try:

@@ -8,9 +8,10 @@ Reference mapping (src/custom_reth/mod.rs):
     addresses pass; txs to the bridge contract pass only if they are NOT
     bridgeAsset calls, except the FIRST bridgeAsset call per block
   * fee-ordered selection under a block gas cap (mod.rs:490-495,564-676)
-  * execution + header assembly (mod.rs:687-788): here a value-transfer
-    ledger with keccak tx/state roots — hermetic but structurally the
-    same commit chain
+  * execution + header assembly (mod.rs:687-788): per-tx EVM execution
+    (sequencer/evm.py — the revm role) with Ethereum's Merkle-Patricia
+    state root and rlp(index)-keyed transactions root (utils/mpt.py),
+    receipts stored per tx
 
 Blocks serve the same JSON shapes the workers/RPC consume (eth_* dicts).
 """
@@ -289,6 +290,10 @@ class Sequencer:
                 "transactions": included,
             }
             self._blocks.append(block)
+            from ..utils.profiling import METRICS
+
+            METRICS.inc("blocks_built")
+            METRICS.inc("txs_executed", len(included))
             for i, (t, r) in enumerate(zip(included, receipts)):
                 r.update(
                     blockNumber=hex(n), blockHash=block["hash"],

@@ -245,6 +245,9 @@ class EVM:
         if depth > MAX_DEPTH:
             raise _Halt()
         self._transfer(sender, to, value)
+        pre = _precompile(to, data)
+        if pre is not None:
+            return pre, gas
         code = self.state.get(code_addr or to).code
         if not code:
             return b"", gas
@@ -532,6 +535,37 @@ class EVM:
             else:  # INVALID / unsupported
                 raise _Halt()
         return (b"", gas_left)
+
+
+def _precompile(to: str, data: bytes) -> Optional[bytes]:
+    """The precompiles the rollup path needs: 0x1 ecrecover (the
+    secp256k1 role revm fills in the reference, SURVEY §2.9-bis),
+    0x2 sha256, 0x4 identity."""
+    n = int(to, 16)
+    if n == 1:  # ecrecover
+        from ..utils.secp256k1 import recover_address
+
+        buf = data.ljust(128, b"\x00")[:128]
+        h = buf[0:32]
+        v = int.from_bytes(buf[32:64], "big")
+        r = int.from_bytes(buf[64:96], "big")
+        s = int.from_bytes(buf[96:128], "big")
+        if v not in (27, 28):
+            return b""
+        try:
+            addr = recover_address(h, v - 27, r, s)
+        except Exception:
+            return b""
+        if addr is None:
+            return b""
+        return bytes(12) + bytes.fromhex(addr[2:])
+    if n == 2:  # sha256
+        import hashlib
+
+        return hashlib.sha256(data).digest()
+    if n == 4:  # identity
+        return bytes(data)
+    return None
 
 
 def _hx(v) -> int:

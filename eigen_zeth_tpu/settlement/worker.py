@@ -44,6 +44,8 @@ from ..protocol.state_machine import ProverPipeline
 from ..utils import rlp
 from .interface import BatchData, Settlement
 
+from ..utils.profiling import METRICS
+
 log = logging.getLogger("ezt.worker")
 
 
@@ -146,6 +148,7 @@ class Settler:
         self.db.put_u64(KEY_NEXT_BATCH, next_batch + 1)
         self.db.put_status(next_batch, Status.Batching)
         log.info("proved batch %d", next_batch)
+        METRICS.inc("batches_proved")
 
     # -- verify_worker (worker.rs:224-313) -----------------------------------
 
@@ -173,6 +176,7 @@ class Settler:
         self.db.put_u64(KEY_LAST_VERIFIED_BATCH_NUMBER, last_batch + 1)
         self.db.put_status(n, Status.Finalized)
         log.info("verified batch %d", n)
+        METRICS.inc("batches_verified")
 
     # -- rollup submit worker (worker.rs:315-474) ----------------------------
 
@@ -215,6 +219,7 @@ class Settler:
         self.db.put_u64(KEY_LAST_SUBMITTED_BLOCK_NUMBER, n)
         self.db.put_status(n, Status.Submitted)
         log.info("submitted block %d (%d txs)", n, len(txs))
+        METRICS.inc("blocks_submitted")
 
     # -- lifecycle -----------------------------------------------------------
 

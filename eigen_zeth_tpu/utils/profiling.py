@@ -71,6 +71,25 @@ class Metrics:
             },
         }
 
+    def prometheus_text(self, prefix: str = "ezt") -> str:
+        """Prometheus exposition format — the /metrics scrape surface (the
+        reference gets this from reth's --metrics socket,
+        src/commands/reth.rs:48-49)."""
+        lines = []
+        for name in sorted(self.counters):
+            m = f"{prefix}_{name}".replace(".", "_").replace("-", "_")
+            lines.append(f"# TYPE {m} counter")
+            lines.append(f"{m} {self.counters[name]}")
+        for name in sorted(self.timings):
+            v = self.timings[name]
+            if not v:
+                continue
+            m = f"{prefix}_{name}".replace(".", "_").replace("-", "_")
+            lines.append(f"# TYPE {m}_seconds summary")
+            lines.append(f"{m}_seconds_count {len(v)}")
+            lines.append(f"{m}_seconds_sum {sum(v):.6f}")
+        return "\n".join(lines) + "\n"
+
 
 METRICS = Metrics()
 

@@ -10,10 +10,6 @@ from eigen_zeth_tpu.utils import ethtx, mpt
 SENDER = "0x" + "11" * 20
 
 # runtime: counter += 1; return counter   (20 bytes)
-COUNTER_RUNTIME = bytes.fromhex(
-    "600054600101600055600054600052602060006000f3".replace("6000f3", "6000f3")
-)
-# fix: assemble precisely below instead of a hex blob
 COUNTER_RUNTIME = bytes(
     [0x60, 0x00, 0x54,  # PUSH1 0 SLOAD
      0x60, 0x01, 0x01,  # PUSH1 1 ADD
@@ -162,3 +158,24 @@ def test_sequencer_verifies_signatures_when_strict():
     blk2 = seq.build_block(timestamp=4)
     assert len(blk2["transactions"]) == 0
     assert len(seq.pool) == 0  # evicted
+
+
+def test_ecrecover_precompile():
+    from eigen_zeth_tpu.ops import keccak
+    from eigen_zeth_tpu.utils.secp256k1 import priv_to_address, sign
+
+    evm, state = _evm()
+    priv = 0xDEADBEEF
+    digest = keccak.keccak256_host(b"message")
+    v, r, s = sign(digest, priv)
+    data = (digest + (v + 27).to_bytes(32, "big") + r.to_bytes(32, "big")
+            + s.to_bytes(32, "big"))
+    out, _ = evm._call(SENDER, "0x" + "00" * 19 + "01", 0, data, 100_000, 0)
+    assert out[-20:].hex() == priv_to_address(priv)[2:]
+    # garbage signature -> empty return
+    bad = digest + (29).to_bytes(32, "big") + r.to_bytes(32, "big") + s.to_bytes(32, "big")
+    out, _ = evm._call(SENDER, "0x" + "00" * 19 + "01", 0, bad, 100_000, 0)
+    assert out == b""
+    # identity precompile
+    out, _ = evm._call(SENDER, "0x" + "00" * 19 + "04", 0, b"xyz", 100_000, 0)
+    assert out == b"xyz"

@@ -119,3 +119,26 @@ def test_cli_run_no_prover_serves_rpc(tmp_path):
         assert int(out["result"], 16) >= 1
     finally:
         handles["shutdown"]()
+
+
+def test_metrics_endpoint_prometheus_text():
+    """/metrics scrape surface (reference analog: reth's --metrics socket,
+    src/commands/reth.rs:48-49)."""
+    import urllib.request
+
+    from eigen_zeth_tpu.protocol import kv, rpc
+    from eigen_zeth_tpu.utils.profiling import METRICS
+
+    seq = Sequencer()
+    seq.send_raw_transaction(tx(to="0x" + "55" * 20, sender="0x9"))
+    seq.build_block(timestamp=9)
+    server = rpc.EigenRpcServer(kv.MemDb(), seq).start()
+    try:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/metrics", timeout=5
+        ).read().decode()
+    finally:
+        server.stop()
+    assert "# TYPE ezt_blocks_built counter" in body
+    assert "ezt_blocks_built" in body and "ezt_txs_executed" in body
+    assert METRICS.counters.get("blocks_built", 0) >= 1

@@ -11,15 +11,18 @@ in-process engine backed by the TPU proving stack:
   gen_chunk_proof     one STARK chunk proof per chunk (models/stark) —
                       the embarrassingly parallel fan-out the reference
                       ships to its prover network; here it maps across
-                      the chip mesh
-  gen_aggregated_proof verifies both child proofs, combines their
-                      digests with the Poseidon 2-to-1 compression
-                      (round-1 aggregation attestation; true recursive
-                      STARK verification is the scale-up path)
+                      the chip mesh (models/stark_batch over the 'chunk'
+                      axis)
+  gen_aggregated_proof RECURSIVE aggregation (models/recursion): each
+                      chunk child is replaced by a verifier-AIR
+                      attestation STARK that re-executes the chunk
+                      proof's query checks in-circuit; downstream
+                      validation checks attestations only — nobody
+                      re-runs chunk verification
   gen_final_proof     Groth16/BN128 wrap (models/groth16) binding the
-                      aggregated digest (+ aggregator address) into the
-                      single public input, emitted in the reference's
-                      exact proof JSON schema
+                      aggregated digest (+ aggregator address) via an
+                      in-circuit MiMC hash into the single public input,
+                      emitted in the reference's exact proof JSON schema
 
 DEBUG_PROOF=TRUE replays the reference's canned vectors instead
 (reference behavior: src/settlement/worker.rs:49-96).

@@ -24,7 +24,7 @@ trap 'kill $PROVER_PID 2>/dev/null || true' EXIT
 # give the prover a moment to bind
 sleep 2
 
-exec python -m eigen_zeth_tpu run \
+python -m eigen_zeth_tpu run \
   --database memory \
   --settlement mock \
   --rpc-port "$RPC_PORT" \

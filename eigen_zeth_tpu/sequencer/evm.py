@@ -13,15 +13,16 @@ flat keccak "state root" (VERDICT missing item 4); this module provides:
     keccak(rlp([sender, nonce]))[12:]), and message calls through a
     stack-machine interpreter covering the core opcode set (arithmetic /
     comparison / keccak / environment / block context / memory / storage
-    / control flow / PUSH-DUP-SWAP / LOG / CREATE / CALL family /
-    RETURN / REVERT)
+    / control flow / PUSH-DUP-SWAP / LOG / CREATE / CREATE2 / CALL
+    family / RETURN / REVERT), with tx.origin threaded through frames
   * gas accounting (intrinsic 21000 + calldata bytes + per-op costs +
     memory expansion) — simplified flat costs, not consensus-exact, but
     enough to meter and bound execution
 
-Out of scope (documented simplifications): precompiles, access lists,
-refunds, EIP-1559 fee market (gasPrice is charged as given), SELFDESTRUCT
-sweeps balance without deletion scheduling.
+Precompiles: 0x1 ecrecover, 0x2 sha256, 0x4 identity.
+Out of scope (documented simplifications): the remaining precompiles,
+access lists, refunds, EIP-1559 fee market (gasPrice is charged as
+given), SELFDESTRUCT sweeps balance without deletion scheduling.
 """
 
 from __future__ import annotations
@@ -185,11 +186,12 @@ class EVM:
         try:
             if to is None or to in ("", "0x"):
                 contract_address, gas = self._create(
-                    sender, value, data, gas, depth=0
+                    sender, value, data, gas, depth=0, origin=sender
                 )
                 status = 1
             else:
-                _, gas = self._call(sender, to.lower(), value, data, gas, 0)
+                _, gas = self._call(sender, to.lower(), value, data, gas, 0,
+                                    origin=sender)
                 status = 1
         except (_Revert, _Halt):
             self.state.restore(snap)
@@ -224,23 +226,33 @@ class EVM:
         a.balance -= value
         b.balance += value
 
-    def _create(self, sender: str, value: int, init: bytes, gas: int, depth: int):
+    def _create(self, sender: str, value: int, init: bytes, gas: int,
+                depth: int, salt: Optional[int] = None,
+                origin: Optional[str] = None):
         if depth > MAX_DEPTH:
             raise _Halt()
-        nonce_used = self.state.get(sender).nonce - (1 if depth == 0 else 0)
-        addr = "0x" + keccak.keccak256_host(
-            rlp.encode([_addr_bytes(sender), rlp.encode_int(nonce_used)])
-        )[12:].hex()
+        if salt is not None:  # CREATE2 address rule (EIP-1014)
+            addr = "0x" + keccak.keccak256_host(
+                b"\xff" + _addr_bytes(sender) + salt.to_bytes(32, "big")
+                + keccak.keccak256_host(init)
+            )[12:].hex()
+        else:
+            nonce_used = self.state.get(sender).nonce - (1 if depth == 0 else 0)
+            addr = "0x" + keccak.keccak256_host(
+                rlp.encode([_addr_bytes(sender), rlp.encode_int(nonce_used)])
+            )[12:].hex()
         if depth > 0:
             self.state.touch(sender).nonce += 1
         self._transfer(sender, addr, value)
-        code, gas = self._run(addr, sender, value, init, b"", gas, depth, init_code=True)
+        code, gas = self._run(addr, sender, value, init, b"", gas, depth,
+                              init_code=True, origin=origin)
         self.state.touch(addr).code = code
         return addr, gas
 
     def _call(
         self, sender: str, to: str, value: int, data: bytes, gas: int, depth: int,
         code_addr: Optional[str] = None, static: bool = False,
+        origin: Optional[str] = None,
     ):
         if depth > MAX_DEPTH:
             raise _Halt()
@@ -252,15 +264,16 @@ class EVM:
         if not code:
             return b"", gas
         return self._run(to, sender, value, code, data, gas, depth,
-                         static=static)
+                         static=static, origin=origin)
 
     # -- the interpreter ---------------------------------------------------------
 
     def _run(
         self, self_addr: str, caller: str, callvalue: int, code: bytes,
         calldata: bytes, gas: int, depth: int, init_code: bool = False,
-        static: bool = False,
+        static: bool = False, origin: Optional[str] = None,
     ) -> Tuple[bytes, int]:
+        origin = origin or caller
         stack: List[int] = []
         mem = bytearray()
         ret_data = b""
@@ -351,7 +364,7 @@ class EVM:
                     keccak.keccak256_host(bytes(mem[off : off + size])), "big"))
             elif op == 0x30: push(int(self_addr, 16))
             elif op == 0x31: push(self.state.get(_to_addr(pop())).balance)
-            elif op == 0x32: push(int(caller, 16))  # ORIGIN ~ caller (no tx ctx chain)
+            elif op == 0x32: push(int(origin, 16))
             elif op == 0x33: push(int(caller, 16))
             elif op == 0x34: push(callvalue)
             elif op == 0x35:  # CALLDATALOAD
@@ -454,16 +467,17 @@ class EVM:
                 mexpand(off, size)
                 use(G_LOG * (n + 1))
                 self.logs.append(Log(self_addr, topics, bytes(mem[off : off + size])))
-            elif op == 0xF0:  # CREATE
+            elif op in (0xF0, 0xF5):  # CREATE / CREATE2
                 if static:
                     raise _Halt()
                 use(CREATE_GAS)
                 v, off, size = pop(), pop(), pop()
+                salt = pop() if op == 0xF5 else None
                 mexpand(off, size)
                 try:
                     addr, gas_left = self._create(
                         self_addr, v, bytes(mem[off : off + size]), gas_left,
-                        depth + 1,
+                        depth + 1, salt=salt, origin=origin,
                     )
                     push(int(addr, 16))
                     ret_data = b""
@@ -487,18 +501,18 @@ class EVM:
                     if op == 0xF1:
                         out, rem = self._call(
                             self_addr, a, v, args, sub_gas, depth + 1,
-                            static=static,
+                            static=static, origin=origin,
                         )
                     elif op == 0xF4:  # DELEGATECALL: run a's code in our ctx
                         codea = self.state.get(a).code
                         out, rem = self._run(
                             self_addr, caller, callvalue, codea, args,
-                            sub_gas, depth + 1, static=static,
+                            sub_gas, depth + 1, static=static, origin=origin,
                         ) if codea else (b"", sub_gas)
                     else:  # STATICCALL
                         out, rem = self._call(
                             self_addr, a, 0, args, sub_gas, depth + 1,
-                            static=True,
+                            static=True, origin=origin,
                         )
                     gas_left = gas_left - sub_gas + rem
                     ret_data = out

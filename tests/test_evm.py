@@ -179,3 +179,18 @@ def test_ecrecover_precompile():
     # identity precompile
     out, _ = evm._call(SENDER, "0x" + "00" * 19 + "04", 0, b"xyz", 100_000, 0)
     assert out == b"xyz"
+
+
+def test_create2_address_rule():
+    from eigen_zeth_tpu.ops import keccak
+
+    evm, state = _evm()
+    init = bytes([0x60, len(COUNTER_RUNTIME), 0x60, 0x0C, 0x60, 0x00, 0x39,
+                  0x60, len(COUNTER_RUNTIME), 0x60, 0x00, 0xF3]) + COUNTER_RUNTIME
+    addr, _ = evm._create(SENDER, 0, init, 1_000_000, depth=1, salt=0x42)
+    want = "0x" + keccak.keccak256_host(
+        b"\xff" + bytes.fromhex(SENDER[2:]) + (0x42).to_bytes(32, "big")
+        + keccak.keccak256_host(init)
+    )[12:].hex()
+    assert addr == want
+    assert state.get(addr).code == COUNTER_RUNTIME

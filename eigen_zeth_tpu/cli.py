@@ -48,8 +48,31 @@ def build_parser() -> argparse.ArgumentParser:
                      help="TOML path for worker intervals (settlement.toml)")
     run.add_argument("--rpc-host", default="127.0.0.1")
     run.add_argument("--rpc-port", type=int, default=8546)
-    run.add_argument("--auto-mine-interval", type=float, default=2.0)
+    run.add_argument("--auto-mine-interval", type=float, default=2.0,
+                     help="dev auto-mine cadence (reth --dev.block-time)")
     run.add_argument("--aggregator-addr", default="0x" + "00" * 20)
+    # --- reth arg-surface analogs (src/commands/reth.rs) -----------------
+    run.add_argument("--datadir", default=None,
+                     help="alias of --db-path (reth --datadir)")
+    run.add_argument("--chain-id", type=int, default=None,
+                     help="L2 chain id (reth --chain)")
+    run.add_argument("--instance", type=int, default=1,
+                     help="node instance number; offsets the RPC port by "
+                          "instance-1 (reth --instance port arithmetic)")
+    run.add_argument("--metrics", default=None, metavar="HOST:PORT",
+                     help="serve prometheus metrics on a separate socket "
+                          "(reth --metrics); /metrics is always on the "
+                          "RPC port too")
+    run.add_argument("--coinbase", default=None,
+                     help="block fee recipient (reth --builder suggested "
+                          "fee recipient)")
+    run.add_argument("--block-gas-limit", type=int, default=None,
+                     help="block gas cap (reth --builder.gaslimit)")
+    run.add_argument("--txpool-max-size", type=int, default=10_000,
+                     help="pending-pool cap (reth --txpool.* args)")
+    run.add_argument("--verify-signatures", action="store_true",
+                     help="require valid secp256k1 signatures (revm "
+                          "sender recovery; off for dev tooling)")
     run.add_argument("--no-prover", action="store_true",
                      help="start without proving workers (sequencer+rpc only)")
     run.add_argument("--prover-addr", default=None,
@@ -99,6 +122,10 @@ def cmd_run(args, wait: bool = True) -> int:
     from .operator import Operator  # deferred: pulls in jax
 
     env = global_env()
+    if getattr(args, "datadir", None):
+        args.db_path = args.datadir
+    if getattr(args, "instance", 1) and args.instance > 1:
+        args.rpc_port += args.instance - 1
     db = kv.open_db(args.database, args.db_path)
     tx_filter = (
         TxFilterConfig.from_conf_path(args.tx_filter_conf)
@@ -110,7 +137,16 @@ def cmd_run(args, wait: bool = True) -> int:
         if args.worker_conf
         else WorkerConfig()
     )
-    sequencer = Sequencer(tx_filter=tx_filter, chain_id=env.chain_id)
+    from .sequencer.chain import BLOCK_GAS_LIMIT
+
+    sequencer = Sequencer(
+        tx_filter=tx_filter,
+        chain_id=getattr(args, "chain_id", None) or env.chain_id,
+        verify_signatures=getattr(args, "verify_signatures", False),
+        block_gas_limit=getattr(args, "block_gas_limit", None) or BLOCK_GAS_LIMIT,
+        coinbase=getattr(args, "coinbase", None),
+        txpool_max_size=getattr(args, "txpool_max_size", None) or 10_000,
+    )
 
     settlement_kwargs = {}
     if args.settlement == "ethereum":
@@ -123,6 +159,12 @@ def cmd_run(args, wait: bool = True) -> int:
     server = rpc.EigenRpcServer(db, sequencer, host=args.rpc_host, port=args.rpc_port)
     server.start()
     log.info("eigenrpc listening on %s:%d", args.rpc_host, server.port)
+
+    metrics_server = None
+    if getattr(args, "metrics", None):
+        mhost, _, mport = args.metrics.rpartition(":")
+        metrics_server = rpc.MetricsServer(mhost or "127.0.0.1", int(mport)).start()
+        log.info("metrics listening on %s:%d", mhost or "127.0.0.1", metrics_server.port)
 
     sequencer.start_auto_mine(stop, args.auto_mine_interval)
 
@@ -153,6 +195,8 @@ def cmd_run(args, wait: bool = True) -> int:
         stop.set()
         if operator:
             operator.stop()
+        if metrics_server:
+            metrics_server.stop()
         server.stop()
 
     if wait:  # pragma: no cover - interactive path

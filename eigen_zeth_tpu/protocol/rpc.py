@@ -182,3 +182,38 @@ class EigenRpcServer:
         self.server.shutdown()
         if self._thread:
             self._thread.join(5)
+
+
+class MetricsServer:
+    """Standalone prometheus socket (the reference's `--metrics <socket>`
+    reth flag, src/commands/reth.rs:45-49) — /metrics is also served on
+    the main RPC port; this mirrors reth's separate-listener shape."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        from ..utils.profiling import METRICS
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                data = METRICS.prometheus_text().encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+        self.server = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.server.server_address[1]
+        self._thread = None
+
+    def start(self):
+        self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self.server.shutdown()
+        if self._thread:
+            self._thread.join(5)

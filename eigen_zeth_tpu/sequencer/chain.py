@@ -59,14 +59,18 @@ def _tx_gas(tx: dict) -> int:
 
 
 class Mempool:
-    """Fee-ordered pool (the best_transactions iterator analog)."""
+    """Fee-ordered pool (the best_transactions iterator analog; max_size
+    plays the reth TxPoolArgs pending-pool-cap role)."""
 
-    def __init__(self):
+    def __init__(self, max_size: int = 10_000):
         self._txs: List[dict] = []
         self._lock = threading.Lock()
+        self.max_size = max_size
 
     def add(self, tx: dict) -> str:
         with self._lock:
+            if len(self._txs) >= self.max_size:
+                raise ValueError("txpool full")
             self._txs.append(dict(tx))
         return tx_hash(tx)
 
@@ -170,9 +174,16 @@ class Sequencer:
         tx_filter: Optional[TxFilterConfig] = None,
         chain_id: int = 12345,
         verify_signatures: bool = False,
+        block_gas_limit: int = BLOCK_GAS_LIMIT,
+        coinbase: Optional[str] = None,
+        txpool_max_size: int = 10_000,
     ):
-        self.pool = Mempool()
+        self.pool = Mempool(max_size=txpool_max_size)
         self.ledger = Ledger(chain_id=chain_id)
+        self.block_gas_limit = block_gas_limit
+        if coinbase:
+            self.ledger.ctx.coinbase = coinbase.lower()
+        self.ledger.ctx.gas_limit = block_gas_limit
         self.filter_cfg = tx_filter or TxFilterConfig()
         self.chain_id = chain_id
         self._receipts: Dict[str, dict] = {}
@@ -221,10 +232,10 @@ class Sequencer:
         ts = timestamp if timestamp is not None else int(time.time())
         self.ledger.begin_block(self.block_number() + 1, ts)
         for tx in self.pool.best_transactions():
-            if _tx_gas(tx) > BLOCK_GAS_LIMIT:
+            if _tx_gas(tx) > self.block_gas_limit:
                 rejected.append(tx)  # can never fit any block
                 continue
-            if gas_used + _tx_gas(tx) > BLOCK_GAS_LIMIT:
+            if gas_used + _tx_gas(tx) > self.block_gas_limit:
                 continue  # skip over-budget tx, keep scanning (mod.rs:575-592)
             if not allow(tx):
                 # bridge-filtered: deferred, not evicted — the per-block

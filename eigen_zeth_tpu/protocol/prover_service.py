@@ -385,7 +385,13 @@ class BatchProver:
         if node.get("type") == "chunk-attested":
             from ..models import recursion as rec
 
-            return rec.verify_attestation(node)  # raises on failure
+            # pin the attested query count / trace size to the protocol
+            # params: they are attacker-influenced attestation fields
+            return rec.verify_attestation(
+                node,
+                expected_queries=self.stark_params.num_queries,
+                expected_rows=self.chunk_trace_rows,
+            )  # raises on failure
         if node.get("type") == "aggregated":
             d1 = self._validate_recursive(json.dumps(node["children"][0]))
             d2 = self._validate_recursive(json.dumps(node["children"][1]))

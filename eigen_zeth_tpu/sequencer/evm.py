@@ -490,6 +490,8 @@ class EVM:
                 g = pop()
                 a = _to_addr(pop())
                 v = pop() if op == 0xF1 else 0
+                if static and v:
+                    raise _Halt()  # no value transfer in a static context
                 ioff, isz, ooff, osz = pop(), pop(), pop(), pop()
                 mexpand(ioff, isz)
                 mexpand(ooff, osz)

@@ -135,3 +135,41 @@ def test_tampered_sequenced_chunk_breaks_aggregation():
     bad = json.dumps(node)
     r3 = prover.gen_aggregated_proof("b", good, bad)
     assert r3.result_code == ProofResultCode.COMPLETED_ERROR
+
+
+def test_attestation_query_count_is_pinned():
+    """An attestation claiming FEWER queries than the protocol's chunk
+    params is a strictly weaker statement and must be rejected even if its
+    AIR proof verifies (q_c is an attacker-influenced field)."""
+    from eigen_zeth_tpu.protocol import prover_service as ps
+    from eigen_zeth_tpu.protocol.messages import ProofResultCode
+
+    # a chunk proved with only ONE query, attested honestly for q_c=1
+    weak_params = stark.StarkParams(blowup=4, num_queries=1, terminal_size=32)
+    weak_child = stark.prove_chunk([9, 9, 9], iv=5, params=weak_params,
+                                   n_rows=N_ROWS)
+    weak_att = recursion.attest_chunk(weak_child, num_queries_agg=AGG_Q)
+    # standalone verification accepts it without a pin...
+    assert recursion.verify_attestation(weak_att)
+    # ...but the prover pipeline (2-query protocol) must reject it
+    with pytest.raises(ValueError):
+        recursion.verify_attestation(weak_att, expected_queries=2,
+                                     expected_rows=N_ROWS)
+    prover = ps.BatchProver(
+        stark_params=PARAMS, chunk_trace_rows=N_ROWS, agg_queries=AGG_Q,
+        use_jit=False, wrap="linear",
+    )
+    import json as _json
+
+    forged_agg = {
+        "type": "aggregated",
+        "digest": [str(x) for x in __import__(
+            "eigen_zeth_tpu.ops.poseidon", fromlist=["poseidon"]
+        ).hash_two_host(
+            recursion.verify_attestation(weak_att),
+            recursion.verify_attestation(weak_att),
+        )],
+        "children": [weak_att, weak_att],
+    }
+    r = prover.gen_final_proof("b", _json.dumps(forged_agg), "BN128", "0xaa")
+    assert r.result_code.name == "COMPLETED_ERROR"

@@ -171,6 +171,46 @@ class EigenRpcServer:
             if hasattr(self.chain, "ledger"):
                 return "0x" + self.chain.ledger.state.get(params[0].lower()).code.hex()
             return "0x"
+        if method == "eth_getStorageAt":
+            if hasattr(self.chain, "ledger"):
+                slot = int(params[1], 16) if isinstance(params[1], str) else int(params[1])
+                v = self.chain.ledger.state.get(params[0].lower()).storage.get(slot, 0)
+                return "0x%064x" % v
+            return "0x" + "00" * 32
+        if method == "eth_getTransactionCount":
+            if hasattr(self.chain, "ledger"):
+                return hex(self.chain.ledger.state.get(params[0].lower()).nonce)
+            return "0x0"
+        if method == "eth_chainId":
+            if hasattr(self.chain, "chain_id"):
+                return hex(self.chain.chain_id)
+            return "0x1"
+        if method == "eth_call":
+            if hasattr(self.chain, "call_view"):
+                return self.chain.call_view(params[0])
+            raise ValueError("chain does not execute calls")
+        if method == "eth_getLogs":
+            if not hasattr(self.chain, "get_logs"):
+                return []
+            f = params[0] if params else {}
+
+            def _bn(v, default):
+                if v is None:
+                    return default
+                if isinstance(v, str):
+                    if v in ("latest", "pending", "safe", "finalized"):
+                        return self.chain.block_number()
+                    if v == "earliest":
+                        return 0
+                    return int(v, 16)
+                return int(v)
+
+            return self.chain.get_logs(
+                from_block=_bn(f.get("fromBlock"), 0),
+                to_block=_bn(f.get("toBlock"), None),
+                address=f.get("address"),
+                topics=f.get("topics"),
+            )
         raise ValueError(f"unknown method {method!r}")
 
     def start(self):

@@ -133,6 +133,12 @@ class Ledger:
     missing item 4).  Supports value transfers, contract creation and
     message calls; dev-net accounts auto-fund on first touch."""
 
+    # EIP-4788 beacon-roots system contract (pre-block call analog —
+    # the reference applies pre_block_beacon_root_contract_call before
+    # executing payload txs, custom_reth/mod.rs:554-580)
+    BEACON_ROOTS_ADDRESS = "0x000f3df6d732807ef1319fb7b8bb8522d0beac02"
+    HISTORY_BUFFER_LENGTH = 8191
+
     def __init__(self, chain_id: int = 12345):
         from . import evm as evm_m
 
@@ -142,9 +148,23 @@ class Ledger:
         self.evm = evm_m.EVM(self.state, self.ctx)
         self.last_receipt: Optional[dict] = None
 
-    def begin_block(self, number: int, timestamp: int) -> None:
+    def begin_block(
+        self,
+        number: int,
+        timestamp: int,
+        parent_beacon_root: bytes = b"\x00" * 32,
+    ) -> None:
         self.ctx.number = number
         self.ctx.timestamp = timestamp
+        # EIP-4788 ring buffer: slot ts%N <- ts, slot ts%N + N <- root.
+        # On this L2 the "beacon root" is the parent L2 block hash (no CL);
+        # the write is real state, visible to contracts and the state root.
+        acct = self.state.touch(self.BEACON_ROOTS_ADDRESS)
+        slot = timestamp % self.HISTORY_BUFFER_LENGTH
+        acct.storage[slot] = timestamp
+        acct.storage[slot + self.HISTORY_BUFFER_LENGTH] = int.from_bytes(
+            parent_beacon_root, "big"
+        )
 
     def execute(self, tx: dict) -> bool:
         sender = (tx.get("from") or "0x" + "00" * 20).lower()
@@ -192,6 +212,8 @@ class Sequencer:
         self.verify_signatures = verify_signatures
         self._lock = threading.Lock()
         genesis_root = self.ledger.state_root()
+        from ..utils import mpt
+
         self._blocks: List[dict] = [
             {
                 "number": "0x0",
@@ -199,8 +221,17 @@ class Sequencer:
                 "parentHash": "0x" + "00" * 32,
                 "stateRoot": "0x" + genesis_root.hex(),
                 "transactionsRoot": "0x" + keccak.keccak256_host(b"").hex(),
+                "receiptsRoot": "0x" + mpt.EMPTY_ROOT.hex(),
+                "logsBloom": "0x" + "00" * 256,
+                "miner": self.ledger.ctx.coinbase,
+                "gasLimit": hex(block_gas_limit),
+                "baseFeePerGas": "0x0",
                 "timestamp": "0x0",
                 "gasUsed": "0x0",
+                "withdrawalsRoot": "0x" + mpt.EMPTY_ROOT.hex(),
+                "blobGasUsed": "0x0",
+                "excessBlobGas": "0x0",
+                "parentBeaconBlockRoot": "0x" + "00" * 32,
                 "transactions": [],
             }
         ]
@@ -230,7 +261,12 @@ class Sequencer:
         rejected: List[dict] = []  # permanently invalid: evict (mark_invalid analog)
         gas_used = 0
         ts = timestamp if timestamp is not None else int(time.time())
-        self.ledger.begin_block(self.block_number() + 1, ts)
+        with self._lock:
+            parent_hash_hex = self._blocks[-1]["hash"]
+        self.ledger.begin_block(
+            self.block_number() + 1, ts,
+            parent_beacon_root=bytes.fromhex(parent_hash_hex[2:]),
+        )
         for tx in self.pool.best_transactions():
             if _tx_gas(tx) > self.block_gas_limit:
                 rejected.append(tx)  # can never fit any block
@@ -274,7 +310,7 @@ class Sequencer:
         self.pool.remove(included + rejected)
 
         with self._lock:
-            from ..utils import mpt, rlp as rlp_m
+            from ..utils import mpt, receipts as rc, rlp as rlp_m
 
             parent = self._blocks[-1]
             n = len(self._blocks)
@@ -284,10 +320,15 @@ class Sequencer:
                 [rlp_m.encode_legacy_tx(t, self.chain_id) for t in included]
             )
             state_root = self.ledger.state_root()
+            # canonical receipts root + logs bloom (mod.rs:687-788: reth's
+            # calculate_receipt_root / Bloom aggregation roles)
+            rcpt_root = rc.receipts_root(receipts)
+            bloom = rc.block_bloom(receipts)
             header_preimage = (
                 bytes.fromhex(parent["hash"][2:])
                 + tx_root
                 + state_root
+                + rcpt_root
                 + n.to_bytes(8, "big")
             )
             block = {
@@ -296,8 +337,20 @@ class Sequencer:
                 "parentHash": parent["hash"],
                 "stateRoot": "0x" + state_root.hex(),
                 "transactionsRoot": "0x" + tx_root.hex(),
+                "receiptsRoot": "0x" + rcpt_root.hex(),
+                "logsBloom": "0x" + bloom.hex(),
+                "miner": self.ledger.ctx.coinbase,
+                "gasLimit": hex(self.block_gas_limit),
+                "baseFeePerGas": hex(self.ledger.ctx.basefee),
                 "timestamp": hex(ts),
                 "gasUsed": hex(gas_used),
+                # Shanghai/Cancun fields the reference's builder seals
+                # (withdrawals + EIP-4844 blob gas + EIP-4788 beacon root,
+                # mod.rs:687-788): no withdrawals or blobs on this L2
+                "withdrawalsRoot": "0x" + mpt.EMPTY_ROOT.hex(),
+                "blobGasUsed": "0x0",
+                "excessBlobGas": "0x0",
+                "parentBeaconBlockRoot": parent["hash"],
                 "transactions": included,
             }
             self._blocks.append(block)
@@ -305,13 +358,83 @@ class Sequencer:
 
             METRICS.inc("blocks_built")
             METRICS.inc("txs_executed", len(included))
+            cum = 0
             for i, (t, r) in enumerate(zip(included, receipts)):
+                cum += int(r.get("gasUsed", 0) or 0)
                 r.update(
                     blockNumber=hex(n), blockHash=block["hash"],
                     transactionIndex=hex(i),
+                    cumulativeGasUsed=hex(cum),
+                    logsBloom="0x" + rc.logs_bloom(r.get("logs", [])).hex(),
                 )
                 self._receipts[r["transactionHash"]] = r
             return block
+
+    def call_view(self, tx: dict) -> str:
+        """eth_call against the current state (no state change)."""
+        return "0x" + self.ledger.evm.call_view(tx).hex()
+
+    def get_logs(
+        self,
+        from_block: int = 0,
+        to_block: Optional[int] = None,
+        address: Optional[str] = None,
+        topics: Optional[list] = None,
+    ) -> List[dict]:
+        """eth_getLogs: per-receipt bloom prefilter (never a false
+        negative), then exact address/positional-topic matching; logIndex
+        is block-wide, in tx order."""
+        from ..utils import receipts as rc
+
+        with self._lock:
+            head = len(self._blocks) - 1
+            receipts = sorted(
+                self._receipts.values(),
+                key=lambda r: (int(r["blockNumber"], 16),
+                               int(r["transactionIndex"], 16)),
+            )
+        hi = head if to_block is None else to_block
+        addr = address.lower() if address else None
+        want = topics or []
+
+        def topic_match(log_topics: List[str]) -> bool:
+            for i, w in enumerate(want):
+                if w is None:
+                    continue
+                if i >= len(log_topics):
+                    return False
+                opts = [w] if isinstance(w, str) else list(w)
+                if log_topics[i].lower() not in (o.lower() for o in opts):
+                    return False
+            return True
+
+        out: List[dict] = []
+        log_index: Dict[int, int] = {}  # block -> running block-wide index
+        for r in receipts:
+            bn = int(r["blockNumber"], 16)
+            base = log_index.setdefault(bn, 0)
+            n_logs = len(r.get("logs", []))
+            log_index[bn] = base + n_logs
+            if not (from_block <= bn <= hi) or not n_logs:
+                continue
+            bloom = int(r.get("logsBloom", "0x0"), 16)
+            if addr and not rc.bloom_contains(bloom, bytes.fromhex(addr[2:])):
+                continue
+            for j, log in enumerate(r["logs"]):
+                if addr and log["address"].lower() != addr:
+                    continue
+                if not topic_match(log["topics"]):
+                    continue
+                out.append({
+                    **log,
+                    "blockNumber": r["blockNumber"],
+                    "blockHash": r["blockHash"],
+                    "transactionHash": r["transactionHash"],
+                    "transactionIndex": r["transactionIndex"],
+                    "logIndex": hex(base + j),
+                    "removed": False,
+                })
+        return out
 
     def get_transaction_receipt(self, txh: str) -> Optional[dict]:
         with self._lock:

@@ -215,6 +215,32 @@ class EVM:
             "contractAddress": contract_address,
         }
 
+    def call_view(self, tx: dict) -> bytes:
+        """eth_call semantics: run against current state, discard every
+        state change, return the call's output bytes.  Raises ValueError
+        on revert (carrying the revert data) or halt."""
+        sender = (tx.get("from") or "0x" + "00" * 20).lower()
+        to = tx.get("to")
+        if to is None or to in ("", "0x"):
+            raise ValueError("eth_call requires 'to'")
+        value = _hx(tx.get("value", 0))
+        gas = _hx(tx.get("gas", 10_000_000))
+        data = _data_bytes(tx.get("input") or tx.get("data") or "0x")
+        snap = self.state.snapshot()
+        logs_mark = len(self.logs)
+        try:
+            self.state.touch(sender, fund=True)  # discarded with the snapshot
+            ret, _ = self._call(sender, to.lower(), value, data, gas, 0,
+                                origin=sender)
+            return ret
+        except _Revert as r:
+            raise ValueError("execution reverted: 0x" + r.data.hex())
+        except _Halt:
+            raise ValueError("execution failed")
+        finally:
+            self.state.restore(snap)
+            del self.logs[logs_mark:]
+
     # -- calls -----------------------------------------------------------------
 
     def _transfer(self, frm: str, to: str, value: int) -> None:

@@ -1,0 +1,108 @@
+"""The read RPC surface a reth-backed node serves and ours must too:
+eth_call (view execution, state discarded), eth_getLogs (bloom-
+prefiltered), eth_getStorageAt, eth_getTransactionCount, eth_chainId.
+Reference analog: reth's eth-API modules merged into the node's RPC
+(src/custom_reth/mod.rs:864-904)."""
+
+from eigen_zeth_tpu.protocol import kv, rpc
+from eigen_zeth_tpu.sequencer.chain import Sequencer
+
+SENDER = "0x" + "11" * 20
+
+COUNTER_RUNTIME = bytes(
+    [0x60, 0x00, 0x54,  # SLOAD slot0
+     0x60, 0x01, 0x01,  # +1
+     0x60, 0x00, 0x55,  # SSTORE slot0
+     0x60, 0x00, 0x54,  # SLOAD slot0
+     0x60, 0x00, 0x52,  # MSTORE
+     0x60, 0x20, 0x60, 0x00, 0xF3]
+)
+# emit LOG1(data=0xaa padded to 32B, topic=0x42) then STOP
+LOGGER_RUNTIME = bytes(
+    [0x60, 0xAA, 0x60, 0x00, 0x52,
+     0x60, 0x42, 0x60, 0x20, 0x60, 0x00, 0xA1, 0x00]
+)
+
+
+def _init(runtime: bytes) -> bytes:
+    return bytes(
+        [0x60, len(runtime), 0x60, 0x0C, 0x60, 0x00, 0x39,
+         0x60, len(runtime), 0x60, 0x00, 0xF3]
+    ) + runtime
+
+
+def _node():
+    seq = Sequencer()
+    server = rpc.EigenRpcServer(kv.MemDb(), seq)
+    return seq, server
+
+
+def _deploy(seq: Sequencer, runtime: bytes, nonce: int) -> str:
+    seq.send_raw_transaction({
+        "nonce": hex(nonce), "gasPrice": "0x1", "gas": hex(5_000_000),
+        "from": SENDER, "to": None, "value": "0x0",
+        "input": "0x" + _init(runtime).hex(),
+    })
+    blk = seq.build_block(timestamp=1_700_000_000 + nonce)
+    txh = __import__(
+        "eigen_zeth_tpu.sequencer.chain", fromlist=["tx_hash"]
+    ).tx_hash(blk["transactions"][0])
+    return seq.get_transaction_receipt(txh)["contractAddress"]
+
+
+def test_eth_call_discards_state():
+    seq, server = _node()
+    addr = _deploy(seq, COUNTER_RUNTIME, 0)
+    # one REAL increment: storage slot0 == 1
+    seq.send_raw_transaction({
+        "nonce": "0x1", "gasPrice": "0x1", "gas": hex(5_000_000),
+        "from": SENDER, "to": addr, "value": "0x0", "input": "0x",
+    })
+    seq.build_block(timestamp=1_700_000_100)
+    # eth_call executes (sees 2) but commits nothing
+    out = server.dispatch("eth_call", [{"from": SENDER, "to": addr}])
+    assert int(out, 16) == 2
+    assert server.dispatch("eth_getStorageAt", [addr, "0x0"]) == "0x%064x" % 1
+    # repeatable — still 2
+    assert int(server.dispatch("eth_call", [{"from": SENDER, "to": addr}]), 16) == 2
+
+
+def test_eth_getlogs_filtering():
+    seq, server = _node()
+    addr = _deploy(seq, LOGGER_RUNTIME, 0)
+    seq.send_raw_transaction({
+        "nonce": "0x1", "gasPrice": "0x1", "gas": hex(5_000_000),
+        "from": SENDER, "to": addr, "value": "0x0", "input": "0x",
+    })
+    blk = seq.build_block(timestamp=1_700_000_100)
+    topic = "0x%064x" % 0x42
+    logs = server.dispatch("eth_getLogs", [{"address": addr}])
+    assert len(logs) == 1
+    log = logs[0]
+    assert log["topics"] == [topic]
+    assert log["data"] == "0x" + (0xAA).to_bytes(32, "big").hex()
+    assert log["blockNumber"] == blk["number"] and log["logIndex"] == "0x0"
+    # positional topic filter matches; a wrong topic does not
+    assert server.dispatch("eth_getLogs", [{"topics": [topic]}]) == logs
+    assert server.dispatch("eth_getLogs", [{"topics": ["0x%064x" % 0x43]}]) == []
+    # block-range filter
+    assert server.dispatch("eth_getLogs", [{"fromBlock": "0x3"}]) == []
+    # the block header's bloom covers the emitting address + topic
+    from eigen_zeth_tpu.utils import receipts as rc
+    bloom = bytes.fromhex(blk["logsBloom"][2:])
+    assert rc.bloom_contains(bloom, bytes.fromhex(addr[2:]))
+    assert rc.bloom_contains(bloom, (0x42).to_bytes(32, "big"))
+
+
+REVERTER = bytes([0x60, 0x00, 0x60, 0x00, 0xFD])  # REVERT(0, 0)
+
+
+def test_eth_misc_getters_and_call_revert():
+    seq, server = _node()
+    addr = _deploy(seq, REVERTER, 0)
+    assert server.dispatch("eth_chainId", []) == hex(12345)
+    assert server.dispatch("eth_getTransactionCount", [SENDER]) == "0x1"
+    import pytest
+
+    with pytest.raises(ValueError, match="revert"):
+        server.dispatch("eth_call", [{"from": SENDER, "to": addr}])

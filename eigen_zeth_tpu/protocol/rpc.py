@@ -148,7 +148,14 @@ class EigenRpcServer:
             n = int(params[0], 16) if isinstance(params[0], str) else int(params[0])
             return batch_proof_info(self.db, n)
         if method == "eigenrpc_traceTransaction":
-            raise NotImplementedError("traceTransaction is a stub (eigen.rs:70-74)")
+            # the reference stubs this (eigen.rs:70-74 Err("Unable to trace"));
+            # here it serves a geth-callTracer call tree recorded at
+            # execution time by the EVM (sequencer/evm.py)
+            if hasattr(self.chain, "get_transaction_trace"):
+                trace = self.chain.get_transaction_trace(params[0])
+                if trace is not None:
+                    return trace
+            raise ValueError(f"no trace for transaction {params[0]!r}")
         if method == "eth_blockNumber":
             return hex(self.chain.block_number())
         if method == "eth_getBlockByNumber":

@@ -207,6 +207,7 @@ class Sequencer:
         self.filter_cfg = tx_filter or TxFilterConfig()
         self.chain_id = chain_id
         self._receipts: Dict[str, dict] = {}
+        self._traces: Dict[str, Optional[dict]] = {}
         # revm-style sender recovery (custom_reth/mod.rs:604-640 executes
         # recovered txs); opt-in because dev tooling submits unsigned txs
         self.verify_signatures = verify_signatures
@@ -297,6 +298,7 @@ class Sequencer:
             included.append(tx)
             rcpt = dict(self.ledger.last_receipt or {})
             rcpt["transactionHash"] = tx_hash(tx)
+            self._traces[rcpt["transactionHash"]] = rcpt.pop("trace", None)
             rcpt["logs"] = [
                 {
                     "address": l.address,
@@ -373,6 +375,11 @@ class Sequencer:
     def call_view(self, tx: dict) -> str:
         """eth_call against the current state (no state change)."""
         return "0x" + self.ledger.evm.call_view(tx).hex()
+
+    def get_transaction_trace(self, txh: str) -> Optional[dict]:
+        """geth-callTracer-shaped call tree for a mined transaction."""
+        with self._lock:
+            return self._traces.get(txh)
 
     def get_logs(
         self,

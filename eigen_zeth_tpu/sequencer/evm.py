@@ -157,6 +157,35 @@ class EVM:
         self.state = state
         self.ctx = ctx or BlockCtx()
         self.logs: List[Log] = []
+        # geth-callTracer-shaped call tree, recorded per transaction
+        # (serves eigenrpc_traceTransaction — the reference STUBS that
+        # method, custom_reth/eigen.rs:70-74; here it works)
+        self._trace_stack: List[dict] = []
+        self._trace_root: Optional[dict] = None
+
+    # -- call tracing ------------------------------------------------------------
+
+    def _trace_enter(self, typ: str, frm: str, to: Optional[str],
+                     value: int, gas: int, data: bytes) -> dict:
+        frame = {
+            "type": typ, "from": frm, "to": to, "value": hex(value),
+            "gas": hex(max(gas, 0)), "input": "0x" + data.hex(), "calls": [],
+        }
+        if self._trace_stack:
+            self._trace_stack[-1]["calls"].append(frame)
+        else:
+            self._trace_root = frame
+        self._trace_stack.append(frame)
+        return frame
+
+    def _trace_exit(self, frame: dict, gas_left: int, output: bytes = b"",
+                    error: Optional[str] = None) -> None:
+        frame["gasUsed"] = hex(max(int(frame["gas"], 16) - max(gas_left, 0), 0))
+        frame["output"] = "0x" + output.hex()
+        if error:
+            frame["error"] = error
+        if self._trace_stack and self._trace_stack[-1] is frame:
+            self._trace_stack.pop()
 
     # -- transaction entry -----------------------------------------------------
 
@@ -179,6 +208,8 @@ class EVM:
             return {"status": 0, "gasUsed": 0, "logs": [], "error": "prefund"}
         snap = self.state.snapshot()
         logs_mark = len(self.logs)
+        self._trace_stack = []
+        self._trace_root = None
         s_acc.balance -= gas_limit * gas_price
         s_acc.nonce += 1
         gas = gas_limit - intrinsic
@@ -213,6 +244,7 @@ class EVM:
             "gasUsed": gas_used,
             "logs": self.logs[logs_mark:],
             "contractAddress": contract_address,
+            "trace": self._trace_root,
         }
 
     def call_view(self, tx: dict) -> bytes:
@@ -255,6 +287,26 @@ class EVM:
     def _create(self, sender: str, value: int, init: bytes, gas: int,
                 depth: int, salt: Optional[int] = None,
                 origin: Optional[str] = None):
+        frame = self._trace_enter(
+            "CREATE2" if salt is not None else "CREATE",
+            sender, None, value, gas, init,
+        )
+        try:
+            addr, rem = self._create_impl(sender, value, init, gas, depth,
+                                          salt=salt, origin=origin)
+        except _Revert as e:
+            self._trace_exit(frame, 0, e.data, "execution reverted")
+            raise
+        except _Halt:
+            self._trace_exit(frame, 0, b"", "out of gas or invalid operation")
+            raise
+        frame["to"] = addr
+        self._trace_exit(frame, rem, self.state.get(addr).code)
+        return addr, rem
+
+    def _create_impl(self, sender: str, value: int, init: bytes, gas: int,
+                     depth: int, salt: Optional[int] = None,
+                     origin: Optional[str] = None):
         if depth > MAX_DEPTH:
             raise _Halt()
         if salt is not None:  # CREATE2 address rule (EIP-1014)
@@ -276,6 +328,27 @@ class EVM:
         return addr, gas
 
     def _call(
+        self, sender: str, to: str, value: int, data: bytes, gas: int, depth: int,
+        code_addr: Optional[str] = None, static: bool = False,
+        origin: Optional[str] = None,
+    ):
+        frame = self._trace_enter(
+            "STATICCALL" if static else "CALL", sender, to, value, gas, data
+        )
+        try:
+            ret, rem = self._call_impl(sender, to, value, data, gas, depth,
+                                       code_addr=code_addr, static=static,
+                                       origin=origin)
+        except _Revert as e:
+            self._trace_exit(frame, 0, e.data, "execution reverted")
+            raise
+        except _Halt:
+            self._trace_exit(frame, 0, b"", "out of gas or invalid operation")
+            raise
+        self._trace_exit(frame, rem, ret)
+        return ret, rem
+
+    def _call_impl(
         self, sender: str, to: str, value: int, data: bytes, gas: int, depth: int,
         code_addr: Optional[str] = None, static: bool = False,
         origin: Optional[str] = None,
@@ -533,10 +606,24 @@ class EVM:
                         )
                     elif op == 0xF4:  # DELEGATECALL: run a's code in our ctx
                         codea = self.state.get(a).code
-                        out, rem = self._run(
-                            self_addr, caller, callvalue, codea, args,
-                            sub_gas, depth + 1, static=static, origin=origin,
-                        ) if codea else (b"", sub_gas)
+                        dframe = self._trace_enter(
+                            "DELEGATECALL", self_addr, a, 0, sub_gas, args
+                        )
+                        try:
+                            out, rem = self._run(
+                                self_addr, caller, callvalue, codea, args,
+                                sub_gas, depth + 1, static=static,
+                                origin=origin,
+                            ) if codea else (b"", sub_gas)
+                        except _Revert as e:
+                            self._trace_exit(dframe, 0, e.data,
+                                             "execution reverted")
+                            raise
+                        except _Halt:
+                            self._trace_exit(dframe, 0, b"",
+                                             "out of gas or invalid operation")
+                            raise
+                        self._trace_exit(dframe, rem, out)
                     else:  # STATICCALL
                         out, rem = self._call(
                             self_addr, a, 0, args, sub_gas, depth + 1,

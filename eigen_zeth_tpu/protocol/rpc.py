@@ -135,6 +135,7 @@ class EigenRpcServer:
         self.server = ThreadingHTTPServer((host, port), Handler)
         self.port = self.server.server_address[1]
         self._thread: Optional[threading.Thread] = None
+        self._payloads: dict = {}  # payloadId -> built execution payload
 
     def dispatch(self, method: str, params: list):
         if method == "eigenrpc_customMethod":
@@ -196,6 +197,8 @@ class EigenRpcServer:
             if hasattr(self.chain, "call_view"):
                 return self.chain.call_view(params[0])
             raise ValueError("chain does not execute calls")
+        if method.startswith("engine_"):
+            return self._engine(method, params)
         if method == "eth_getLogs":
             if not hasattr(self.chain, "get_logs"):
                 return []
@@ -219,6 +222,71 @@ class EigenRpcServer:
                 topics=f.get("topics"),
             )
         raise ValueError(f"unknown method {method!r}")
+
+    # -- engine API analog ---------------------------------------------------
+    # The reference embeds reth, whose payload service speaks the Engine
+    # API (CustomEngineTypes / CustomPayloadAttributes,
+    # custom_reth/mod.rs:84-205,302-339).  This in-process sequencer IS
+    # the payload builder, so the engine methods drive it directly:
+    # forkchoiceUpdated+attributes builds a payload, getPayload returns
+    # it, newPayload re-checks a payload against the canonical chain.
+
+    def _engine(self, method: str, params: list):
+        if not hasattr(self.chain, "build_block"):
+            raise ValueError("chain has no payload builder")
+        if method.startswith("engine_forkchoiceUpdated"):
+            state = params[0] or {}
+            attrs = params[1] if len(params) > 1 else None
+            head = self.chain.get_block_by_number(self.chain.block_number())
+            want = (state.get("headBlockHash") or "").lower()
+            if want and want != head["hash"].lower():
+                return {
+                    "payloadStatus": {"status": "SYNCING",
+                                      "latestValidHash": None,
+                                      "validationError": None},
+                    "payloadId": None,
+                }
+            payload_id = None
+            if attrs:
+                ts = attrs.get("timestamp")
+                block = self.chain.build_block(
+                    timestamp=int(ts, 16) if isinstance(ts, str) else ts,
+                    parent_beacon_block_root=attrs.get("parentBeaconBlockRoot"),
+                    fee_recipient=attrs.get("suggestedFeeRecipient"),
+                )
+                payload_id = "0x" + block["hash"][2:18]
+                self._payloads[payload_id] = block
+            return {
+                "payloadStatus": {"status": "VALID",
+                                  "latestValidHash": head["hash"],
+                                  "validationError": None},
+                "payloadId": payload_id,
+            }
+        if method.startswith("engine_getPayload"):
+            block = self._payloads.get(params[0])
+            if block is None:
+                raise ValueError(f"unknown payloadId {params[0]!r}")
+            return {
+                "executionPayload": block,
+                "blockValue": "0x0",
+                "blobsBundle": {"commitments": [], "proofs": [], "blobs": []},
+                "shouldOverrideBuilder": False,
+            }
+        if method.startswith("engine_newPayload"):
+            payload = params[0] or {}
+            n = int(payload.get("number", "0x0"), 16)
+            ours = self.chain.get_block_by_number(n)
+            known = ours is not None and all(
+                payload.get(k) == ours.get(k)
+                for k in ("hash", "parentHash", "stateRoot",
+                          "transactionsRoot", "receiptsRoot")
+            )
+            return {
+                "status": "VALID" if known else "INVALID",
+                "latestValidHash": ours["hash"] if known else None,
+                "validationError": None if known else "unknown or divergent payload",
+            }
+        raise ValueError(f"unknown engine method {method!r}")
 
     def start(self):
         self._thread = threading.Thread(target=self.server.serve_forever, daemon=True)

@@ -255,7 +255,16 @@ class Sequencer:
 
     # -- block building (the custom_payload_builder analog) ------------------
 
-    def build_block(self, timestamp: Optional[int] = None) -> dict:
+    def build_block(
+        self,
+        timestamp: Optional[int] = None,
+        parent_beacon_block_root: Optional[str] = None,
+        fee_recipient: Optional[str] = None,
+    ) -> dict:
+        """parent_beacon_block_root / fee_recipient mirror the engine
+        API's PayloadAttributes (the reference wraps Eth payload
+        attributes at custom_reth/mod.rs:84-182); absent, the parent L2
+        block hash / configured coinbase are used."""
         allow = make_bridge_filter(self.filter_cfg)
         included: List[dict] = []
         receipts: List[dict] = []
@@ -264,9 +273,12 @@ class Sequencer:
         ts = timestamp if timestamp is not None else int(time.time())
         with self._lock:
             parent_hash_hex = self._blocks[-1]["hash"]
+        beacon_root_hex = parent_beacon_block_root or parent_hash_hex
+        if fee_recipient:
+            self.ledger.ctx.coinbase = fee_recipient.lower()
         self.ledger.begin_block(
             self.block_number() + 1, ts,
-            parent_beacon_root=bytes.fromhex(parent_hash_hex[2:]),
+            parent_beacon_root=bytes.fromhex(beacon_root_hex[2:]),
         )
         for tx in self.pool.best_transactions():
             if _tx_gas(tx) > self.block_gas_limit:
@@ -352,7 +364,7 @@ class Sequencer:
                 "withdrawalsRoot": "0x" + mpt.EMPTY_ROOT.hex(),
                 "blobGasUsed": "0x0",
                 "excessBlobGas": "0x0",
-                "parentBeaconBlockRoot": parent["hash"],
+                "parentBeaconBlockRoot": beacon_root_hex,
                 "transactions": included,
             }
             self._blocks.append(block)

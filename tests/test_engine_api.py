@@ -1,0 +1,80 @@
+"""Engine-API analog over the in-process sequencer: forkchoiceUpdated
+with attributes builds a payload, getPayload returns it, newPayload
+validates against the canonical chain.  Reference analog: the embedded
+reth's payload service + CustomPayloadAttributes
+(custom_reth/mod.rs:84-205,302-339)."""
+
+import pytest
+
+from eigen_zeth_tpu.protocol import kv, rpc
+from eigen_zeth_tpu.sequencer.chain import Ledger, Sequencer
+
+SENDER = "0x" + "11" * 20
+FEE_TO = "0x" + "fe" * 20
+BEACON = "0x" + "ab" * 32
+
+
+def _mk():
+    seq = Sequencer()
+    return seq, rpc.EigenRpcServer(kv.MemDb(), seq)
+
+
+def test_fcu_builds_payload_with_attributes():
+    seq, server = _mk()
+    seq.send_raw_transaction({
+        "nonce": "0x0", "gasPrice": "0x2", "gas": "0x5208",
+        "from": SENDER, "to": "0x" + "22" * 20, "value": "0x5", "input": "0x",
+    })
+    head0 = seq.get_block_by_number(0)
+    r = server.dispatch("engine_forkchoiceUpdatedV3", [
+        {"headBlockHash": head0["hash"]},
+        {"timestamp": hex(1_700_000_000), "suggestedFeeRecipient": FEE_TO,
+         "parentBeaconBlockRoot": BEACON},
+    ])
+    assert r["payloadStatus"]["status"] == "VALID"
+    pid = r["payloadId"]
+    assert pid and pid.startswith("0x")
+
+    p = server.dispatch("engine_getPayloadV3", [pid])
+    blk = p["executionPayload"]
+    assert blk["number"] == "0x1" and len(blk["transactions"]) == 1
+    # attributes honored: timestamp, fee recipient, beacon root (in the
+    # header AND the EIP-4788 ring buffer)
+    assert blk["timestamp"] == hex(1_700_000_000)
+    assert blk["miner"] == FEE_TO
+    assert blk["parentBeaconBlockRoot"] == BEACON
+    acct = seq.ledger.state.get(Ledger.BEACON_ROOTS_ADDRESS)
+    slot = 1_700_000_000 % Ledger.HISTORY_BUFFER_LENGTH
+    assert acct.storage[slot + Ledger.HISTORY_BUFFER_LENGTH] == int(BEACON, 16)
+    # the payload IS the canonical block
+    assert seq.get_block_by_number(1)["hash"] == blk["hash"]
+
+
+def test_new_payload_validates_against_chain():
+    seq, server = _mk()
+    r = server.dispatch("engine_forkchoiceUpdatedV3", [
+        {}, {"timestamp": hex(1_700_000_000)},
+    ])
+    blk = server.dispatch("engine_getPayloadV3", [r["payloadId"]])["executionPayload"]
+    ok = server.dispatch("engine_newPayloadV3", [blk, [], blk["parentBeaconBlockRoot"]])
+    assert ok["status"] == "VALID" and ok["latestValidHash"] == blk["hash"]
+    bad = dict(blk, stateRoot="0x" + "00" * 32)
+    r2 = server.dispatch("engine_newPayloadV3", [bad, [], blk["parentBeaconBlockRoot"]])
+    assert r2["status"] == "INVALID"
+
+
+def test_fcu_wrong_head_is_syncing():
+    seq, server = _mk()
+    r = server.dispatch("engine_forkchoiceUpdatedV3", [
+        {"headBlockHash": "0x" + "99" * 32},
+        {"timestamp": hex(1_700_000_000)},
+    ])
+    assert r["payloadStatus"]["status"] == "SYNCING"
+    assert r["payloadId"] is None
+    assert seq.block_number() == 0  # nothing was built
+
+
+def test_get_payload_unknown_id():
+    _, server = _mk()
+    with pytest.raises(ValueError):
+        server.dispatch("engine_getPayloadV3", ["0xdeadbeefdeadbeef"])

@@ -157,6 +157,9 @@ class EVM:
         self.state = state
         self.ctx = ctx or BlockCtx()
         self.logs: List[Log] = []
+        # EIP-1153 transient storage: per-address word map, cleared at
+        # tx start, reverted with the state on frame revert
+        self.transient: Dict[str, Dict[int, int]] = {}
         # geth-callTracer-shaped call tree, recorded per transaction
         # (serves eigenrpc_traceTransaction — the reference STUBS that
         # method, custom_reth/eigen.rs:70-74; here it works)
@@ -187,6 +190,18 @@ class EVM:
         if self._trace_stack and self._trace_stack[-1] is frame:
             self._trace_stack.pop()
 
+    # -- world snapshot (accounts + transient storage) ---------------------------
+
+    def _snapshot(self):
+        return (
+            self.state.snapshot(),
+            {a: dict(m) for a, m in self.transient.items()},
+        )
+
+    def _restore(self, snap) -> None:
+        self.state.restore(snap[0])
+        self.transient = snap[1]
+
     # -- transaction entry -----------------------------------------------------
 
     def execute_tx(self, tx: dict, sender: str) -> dict:
@@ -206,7 +221,8 @@ class EVM:
         upfront = value + gas_limit * gas_price
         if s_acc.balance < upfront or gas_limit < intrinsic:
             return {"status": 0, "gasUsed": 0, "logs": [], "error": "prefund"}
-        snap = self.state.snapshot()
+        self.transient = {}  # EIP-1153: cleared at transaction start
+        snap = self._snapshot()
         logs_mark = len(self.logs)
         self._trace_stack = []
         self._trace_root = None
@@ -225,7 +241,7 @@ class EVM:
                                     origin=sender)
                 status = 1
         except (_Revert, _Halt):
-            self.state.restore(snap)
+            self._restore(snap)
             del self.logs[logs_mark:]
             # re-apply the irreversible parts: nonce bump + gas charge
             s_acc = self.state.touch(sender)
@@ -258,7 +274,8 @@ class EVM:
         value = _hx(tx.get("value", 0))
         gas = _hx(tx.get("gas", 10_000_000))
         data = _data_bytes(tx.get("input") or tx.get("data") or "0x")
-        snap = self.state.snapshot()
+        self.transient = {}
+        snap = self._snapshot()
         logs_mark = len(self.logs)
         try:
             self.state.touch(sender, fund=True)  # discarded with the snapshot
@@ -270,7 +287,7 @@ class EVM:
         except _Halt:
             raise ValueError("execution failed")
         finally:
-            self.state.restore(snap)
+            self._restore(snap)
             del self.logs[logs_mark:]
 
     # -- calls -----------------------------------------------------------------
@@ -506,6 +523,8 @@ class EVM:
             elif op == 0x46: push(self.ctx.chain_id)
             elif op == 0x47: push(acc.balance)
             elif op == 0x48: push(self.ctx.basefee)
+            elif op == 0x49: pop(); push(0)  # BLOBHASH: no blob txs on L2
+            elif op == 0x4A: push(1)  # BLOBBASEFEE (spec minimum)
             elif op == 0x50: pop()
             elif op == 0x51:  # MLOAD
                 off = pop(); mexpand(off, 32)
@@ -542,6 +561,21 @@ class EVM:
             elif op == 0x59: push(len(mem))
             elif op == 0x5A: push(gas_left)
             elif op == 0x5B: pass  # JUMPDEST
+            elif op == 0x5C:  # TLOAD (EIP-1153)
+                use(G_SLOAD)
+                push(self.transient.get(self_addr, {}).get(pop(), 0))
+            elif op == 0x5D:  # TSTORE
+                if static:
+                    raise _Halt()
+                use(G_SLOAD)
+                k, v = pop(), pop()
+                self.transient.setdefault(self_addr, {})[k] = v
+            elif op == 0x5E:  # MCOPY (EIP-5656)
+                dst, src, ln = pop(), pop(), pop()
+                mexpand(src, ln)
+                mexpand(dst, ln)
+                use(G_COPYWORD * ((ln + 31) // 32))
+                mem[dst : dst + ln] = bytes(mem[src : src + ln])
             elif op == 0x5F: push(0)  # PUSH0
             elif 0x60 <= op <= 0x7F:  # PUSHn
                 n = op - 0x5F
@@ -573,6 +607,8 @@ class EVM:
                 v, off, size = pop(), pop(), pop()
                 salt = pop() if op == 0xF5 else None
                 mexpand(off, size)
+                csnap = self._snapshot()
+                cmarks = len(self.logs)
                 try:
                     addr, gas_left = self._create(
                         self_addr, v, bytes(mem[off : off + size]), gas_left,
@@ -581,8 +617,14 @@ class EVM:
                     push(int(addr, 16))
                     ret_data = b""
                 except _Revert as e:
+                    # reverting init code rolls back the value transfer,
+                    # nonce bump and any state it wrote
+                    self._restore(csnap)
+                    del self.logs[cmarks:]
                     push(0); ret_data = e.data
                 except _Halt:
+                    self._restore(csnap)
+                    del self.logs[cmarks:]
                     push(0); ret_data = b""
             elif op in (0xF1, 0xF4, 0xFA):  # CALL / DELEGATECALL / STATICCALL
                 use(G_CALL)
@@ -596,7 +638,7 @@ class EVM:
                 mexpand(ooff, osz)
                 sub_gas = min(g, gas_left - gas_left // 64)
                 args = bytes(mem[ioff : ioff + isz])
-                snap = self.state.snapshot()
+                snap = self._snapshot()
                 marks = len(self.logs)
                 try:
                     if op == 0xF1:
@@ -634,14 +676,14 @@ class EVM:
                     mem[ooff : ooff + osz] = out[:osz].ljust(osz, b"\x00")
                     push(1)
                 except _Revert as e:
-                    self.state.restore(snap)
+                    self._restore(snap)
                     del self.logs[marks:]
                     ret_data = e.data
                     mem[ooff : ooff + osz] = e.data[:osz].ljust(osz, b"\x00")
                     gas_left = gas_left - sub_gas  # revert consumes the sub-gas
                     push(0)
                 except _Halt:
-                    self.state.restore(snap)
+                    self._restore(snap)
                     del self.logs[marks:]
                     ret_data = b""
                     gas_left = gas_left - sub_gas

@@ -161,6 +161,14 @@ class EigenRpcServer:
             return hex(self.chain.block_number())
         if method == "eth_getBlockByNumber":
             return self.chain.get_block_by_number(params[0], bool(params[1:]))
+        if method == "eth_getBlockByHash":
+            if hasattr(self.chain, "get_block_by_hash"):
+                return self.chain.get_block_by_hash(params[0])
+            return None
+        if method == "eth_getTransactionByHash":
+            if hasattr(self.chain, "get_transaction_by_hash"):
+                return self.chain.get_transaction_by_hash(params[0])
+            return None
         if method == "eth_sendTransaction":
             if hasattr(self.chain, "send_raw_transaction"):
                 return self.chain.send_raw_transaction(params[0])

@@ -250,6 +250,29 @@ class Sequencer:
                 return dict(self._blocks[n])
         return None
 
+    def get_block_by_hash(self, block_hash: str):
+        h = block_hash.lower()
+        with self._lock:
+            for b in reversed(self._blocks):
+                if b["hash"].lower() == h:
+                    return dict(b)
+        return None
+
+    def get_transaction_by_hash(self, txh: str) -> Optional[dict]:
+        """The mined tx joined with its location (eth_getTransactionByHash)."""
+        with self._lock:
+            r = self._receipts.get(txh)
+        if r is None:
+            return None
+        block = self.get_block_by_number(r["blockNumber"])
+        idx = int(r["transactionIndex"], 16)
+        tx = dict(block["transactions"][idx])
+        tx.update(
+            hash=txh, blockHash=r["blockHash"],
+            blockNumber=r["blockNumber"], transactionIndex=r["transactionIndex"],
+        )
+        return tx
+
     def send_raw_transaction(self, tx: dict) -> str:
         return self.pool.add(tx)
 

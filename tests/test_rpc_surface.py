@@ -94,6 +94,24 @@ def test_eth_getlogs_filtering():
     assert rc.bloom_contains(bloom, (0x42).to_bytes(32, "big"))
 
 
+def test_get_block_by_hash_and_tx_by_hash():
+    seq, server = _node()
+    seq.send_raw_transaction({
+        "nonce": "0x0", "gasPrice": "0x2", "gas": "0x5208",
+        "from": SENDER, "to": "0x" + "22" * 20, "value": "0x5", "input": "0x",
+    })
+    blk = seq.build_block(timestamp=1_700_000_000)
+    assert server.dispatch("eth_getBlockByHash", [blk["hash"]])["number"] == "0x1"
+    assert server.dispatch("eth_getBlockByHash", ["0x" + "00" * 32]) is None
+    txh = __import__(
+        "eigen_zeth_tpu.sequencer.chain", fromlist=["tx_hash"]
+    ).tx_hash(blk["transactions"][0])
+    tx = server.dispatch("eth_getTransactionByHash", [txh])
+    assert tx["hash"] == txh and tx["blockHash"] == blk["hash"]
+    assert tx["transactionIndex"] == "0x0" and tx["value"] == "0x5"
+    assert server.dispatch("eth_getTransactionByHash", ["0xdead"]) is None
+
+
 REVERTER = bytes([0x60, 0x00, 0x60, 0x00, 0xFD])  # REVERT(0, 0)
 
 

@@ -205,6 +205,56 @@ class EigenRpcServer:
             if hasattr(self.chain, "call_view"):
                 return self.chain.call_view(params[0])
             raise ValueError("chain does not execute calls")
+        if method == "eth_estimateGas":
+            if hasattr(self.chain, "estimate_gas"):
+                return hex(self.chain.estimate_gas(params[0]))
+            raise ValueError("chain does not execute calls")
+        if method == "eth_gasPrice":
+            base = 0
+            if hasattr(self.chain, "ledger"):
+                base = self.chain.ledger.ctx.basefee
+            return hex(max(base, 1))
+        if method == "eth_feeHistory":
+            if hasattr(self.chain, "fee_history"):
+                count = params[0]
+                count = int(count, 16) if isinstance(count, str) else int(count)
+                return self.chain.fee_history(
+                    count,
+                    params[1] if len(params) > 1 else "latest",
+                    params[2] if len(params) > 2 else None,
+                )
+            raise ValueError("chain has no fee history")
+        if method == "eth_syncing":
+            return False
+        if method == "net_version":
+            return str(self.chain.chain_id if hasattr(self.chain, "chain_id") else 1)
+        if method == "web3_clientVersion":
+            return "eigen-zeth-tpu/0.2"
+        if method in ("eth_getBlockTransactionCountByNumber",
+                      "eth_getBlockTransactionCountByHash"):
+            if method.endswith("ByHash") and hasattr(self.chain, "get_block_by_hash"):
+                b = self.chain.get_block_by_hash(params[0])
+            else:
+                b = self.chain.get_block_by_number(params[0])
+            return hex(len(b["transactions"])) if b else None
+        if method in ("eth_getTransactionByBlockNumberAndIndex",
+                      "eth_getTransactionByBlockHashAndIndex"):
+            if method.endswith("HashAndIndex") and hasattr(self.chain, "get_block_by_hash"):
+                b = self.chain.get_block_by_hash(params[0])
+            else:
+                b = self.chain.get_block_by_number(params[0])
+            if not b:
+                return None
+            i = int(params[1], 16) if isinstance(params[1], str) else int(params[1])
+            if not (0 <= i < len(b["transactions"])):
+                return None
+            tx = dict(b["transactions"][i])
+            tx.update(blockHash=b["hash"], blockNumber=b["number"],
+                      transactionIndex=hex(i))
+            return tx
+        if method in ("eth_getUncleCountByBlockNumber",
+                      "eth_getUncleCountByBlockHash"):
+            return "0x0"  # PoS L2: no uncles
         if method.startswith("engine_"):
             return self._engine(method, params)
         if method == "eth_getLogs":
@@ -261,6 +311,7 @@ class EigenRpcServer:
                     timestamp=int(ts, 16) if isinstance(ts, str) else ts,
                     parent_beacon_block_root=attrs.get("parentBeaconBlockRoot"),
                     fee_recipient=attrs.get("suggestedFeeRecipient"),
+                    withdrawals=attrs.get("withdrawals"),
                 )
                 payload_id = "0x" + block["hash"][2:18]
                 self._payloads[payload_id] = block

@@ -230,6 +230,7 @@ class Sequencer:
                 "timestamp": "0x0",
                 "gasUsed": "0x0",
                 "withdrawalsRoot": "0x" + mpt.EMPTY_ROOT.hex(),
+                "withdrawals": [],
                 "blobGasUsed": "0x0",
                 "excessBlobGas": "0x0",
                 "parentBeaconBlockRoot": "0x" + "00" * 32,
@@ -283,11 +284,14 @@ class Sequencer:
         timestamp: Optional[int] = None,
         parent_beacon_block_root: Optional[str] = None,
         fee_recipient: Optional[str] = None,
+        withdrawals: Optional[List[dict]] = None,
     ) -> dict:
-        """parent_beacon_block_root / fee_recipient mirror the engine
-        API's PayloadAttributes (the reference wraps Eth payload
-        attributes at custom_reth/mod.rs:84-182); absent, the parent L2
-        block hash / configured coinbase are used."""
+        """parent_beacon_block_root / fee_recipient / withdrawals mirror
+        the engine API's PayloadAttributes (the reference wraps Eth
+        payload attributes at custom_reth/mod.rs:84-182 and commits
+        withdrawals after the tx loop, mod.rs:687-699); absent, the
+        parent L2 block hash / configured coinbase / no withdrawals are
+        used."""
         allow = make_bridge_filter(self.filter_cfg)
         included: List[dict] = []
         receipts: List[dict] = []
@@ -346,8 +350,30 @@ class Sequencer:
             gas_used += rcpt.get("gasUsed", 0) or _tx_gas(tx)
         self.pool.remove(included + rejected)
 
+        # EIP-4895: credit withdrawal amounts (Gwei) AFTER the tx loop —
+        # balance changes land in this block's post-state, and the header
+        # commits to the withdrawal list via an rlp(index)-keyed trie
+        # (the reference's commit_withdrawals, custom_reth/mod.rs:687-699)
+        from ..utils import mpt, rlp as rlp_m
+
+        wds = withdrawals or []
+        wd_encoded: List[bytes] = []
+        for w in wds:
+            amount_gwei = rlp_m.tx_int(w.get("amount", 0))
+            addr = (w.get("address") or "0x" + "00" * 20).lower()
+            self.ledger.state.touch(addr).balance += amount_gwei * 10**9
+            wd_encoded.append(
+                rlp_m.encode([
+                    rlp_m.tx_int(w.get("index", 0)),
+                    rlp_m.tx_int(w.get("validatorIndex", 0)),
+                    bytes.fromhex(addr[2:]),
+                    amount_gwei,
+                ])
+            )
+        wd_root = mpt.index_root(wd_encoded) if wd_encoded else mpt.EMPTY_ROOT
+
         with self._lock:
-            from ..utils import mpt, receipts as rc, rlp as rlp_m
+            from ..utils import receipts as rc
 
             parent = self._blocks[-1]
             n = len(self._blocks)
@@ -383,8 +409,9 @@ class Sequencer:
                 "gasUsed": hex(gas_used),
                 # Shanghai/Cancun fields the reference's builder seals
                 # (withdrawals + EIP-4844 blob gas + EIP-4788 beacon root,
-                # mod.rs:687-788): no withdrawals or blobs on this L2
-                "withdrawalsRoot": "0x" + mpt.EMPTY_ROOT.hex(),
+                # mod.rs:687-788); no blob txs on this L2
+                "withdrawalsRoot": "0x" + wd_root.hex(),
+                "withdrawals": wds,
                 "blobGasUsed": "0x0",
                 "excessBlobGas": "0x0",
                 "parentBeaconBlockRoot": beacon_root_hex,
@@ -410,6 +437,33 @@ class Sequencer:
     def call_view(self, tx: dict) -> str:
         """eth_call against the current state (no state change)."""
         return "0x" + self.ledger.evm.call_view(tx).hex()
+
+    def estimate_gas(self, tx: dict) -> int:
+        """eth_estimateGas: dry-run against a state snapshot."""
+        return self.ledger.evm.estimate_gas(tx)
+
+    def fee_history(self, block_count: int, newest, percentiles=None) -> dict:
+        """eth_feeHistory over the sealed headers (baseFeePerGas +
+        gasUsedRatio per block; this L2 has no priority-fee market, so
+        requested reward percentiles are all zero)."""
+        head = self.block_number()
+        newest_n = head if newest in (None, "latest", "pending", "safe",
+                                      "finalized") else (
+            int(newest, 16) if isinstance(newest, str) else int(newest))
+        newest_n = min(newest_n, head)
+        oldest = max(0, newest_n - block_count + 1)
+        base, ratio = [], []
+        for n in range(oldest, newest_n + 1):
+            b = self.get_block_by_number(n)
+            base.append(b["baseFeePerGas"])
+            ratio.append(int(b["gasUsed"], 16) / max(int(b["gasLimit"], 16), 1))
+        # one extra entry: next block's base fee (flat on this L2)
+        base.append(base[-1] if base else "0x0")
+        out = {"oldestBlock": hex(oldest), "baseFeePerGas": base,
+               "gasUsedRatio": ratio}
+        if percentiles:
+            out["reward"] = [["0x0"] * len(percentiles) for _ in ratio]
+        return out
 
     def get_transaction_trace(self, txh: str) -> Optional[dict]:
         """geth-callTracer-shaped call tree for a mined transaction."""

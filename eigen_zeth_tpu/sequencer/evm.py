@@ -290,6 +290,25 @@ class EVM:
             self._restore(snap)
             del self.logs[logs_mark:]
 
+    def estimate_gas(self, tx: dict) -> int:
+        """eth_estimateGas semantics: execute the transaction against a
+        snapshot with a generous gas limit and zero gas price, discard
+        every state change, return the gas it used."""
+        sender = (tx.get("from") or "0x" + "00" * 20).lower()
+        t = dict(tx)
+        t.setdefault("gas", hex(self.ctx.gas_limit or 30_000_000))
+        t["gasPrice"] = "0x0"
+        snap = self._snapshot()
+        logs_mark = len(self.logs)
+        try:
+            r = self.execute_tx(t, sender)
+        finally:
+            self._restore(snap)
+            del self.logs[logs_mark:]
+        if r["status"] != 1:
+            raise ValueError(r.get("error") or "execution reverted")
+        return int(r["gasUsed"])
+
     # -- calls -----------------------------------------------------------------
 
     def _transfer(self, frm: str, to: str, value: int) -> None:

@@ -78,3 +78,35 @@ def test_get_payload_unknown_id():
     _, server = _mk()
     with pytest.raises(ValueError):
         server.dispatch("engine_getPayloadV3", ["0xdeadbeefdeadbeef"])
+
+
+def test_fcu_withdrawals_credited_and_committed():
+    """EIP-4895 analog: PayloadAttributes.withdrawals credit balances
+    (Gwei -> wei) and the header commits to the list via an
+    rlp(index)-keyed trie (reference commit_withdrawals,
+    custom_reth/mod.rs:687-699)."""
+    seq, server = _mk()
+    w_addr = "0x" + "77" * 20
+    wds = [
+        {"index": "0x0", "validatorIndex": "0x5", "address": w_addr,
+         "amount": "0x3b9aca00"},  # 1e9 Gwei = 1 ether
+        {"index": "0x1", "validatorIndex": "0x6", "address": w_addr,
+         "amount": "0x1"},
+    ]
+    r = server.dispatch("engine_forkchoiceUpdatedV3", [
+        {}, {"timestamp": hex(1_700_000_100), "withdrawals": wds},
+    ])
+    blk = server.dispatch("engine_getPayloadV3", [r["payloadId"]])["executionPayload"]
+    assert seq.ledger.state.get(w_addr).balance == (10**9 + 1) * 10**9
+    assert blk["withdrawals"] == wds
+    # the root is a real trie commitment: order/content changes move it
+    from eigen_zeth_tpu.utils import mpt
+    assert blk["withdrawalsRoot"] != "0x" + mpt.EMPTY_ROOT.hex()
+    b2 = Sequencer().build_block(timestamp=1_700_000_100,
+                                 withdrawals=list(reversed(wds)))
+    assert b2["withdrawalsRoot"] != blk["withdrawalsRoot"]
+    # empty list -> canonical empty root (and post-withdrawal state root
+    # differs from a no-withdrawals build)
+    b3 = Sequencer().build_block(timestamp=1_700_000_100)
+    assert b3["withdrawalsRoot"] == "0x" + mpt.EMPTY_ROOT.hex()
+    assert b3["stateRoot"] != blk["stateRoot"]

@@ -124,3 +124,46 @@ def test_eth_misc_getters_and_call_revert():
 
     with pytest.raises(ValueError, match="revert"):
         server.dispatch("eth_call", [{"from": SENDER, "to": addr}])
+
+
+def test_estimate_gas_and_gas_price():
+    seq, server = _node()
+    # plain transfer: 21000 intrinsic, state unchanged by the dry run
+    est = server.dispatch("eth_estimateGas", [{
+        "from": SENDER, "to": "0x" + "22" * 20, "value": "0x5",
+    }])
+    assert int(est, 16) == 21_000
+    root_before = seq.ledger.state_root()
+    # contract execution costs more than intrinsic and leaves no trace
+    addr = _deploy(seq, COUNTER_RUNTIME, nonce=0)
+    root_mid = seq.ledger.state_root()
+    est2 = server.dispatch("eth_estimateGas", [{"from": SENDER, "to": addr}])
+    assert int(est2, 16) > 21_000
+    assert seq.ledger.state_root() == root_mid != root_before
+    assert int(server.dispatch("eth_gasPrice", []), 16) >= 1
+    assert server.dispatch("eth_syncing", []) is False
+    assert server.dispatch("net_version", []) == str(seq.chain_id)
+
+
+def test_fee_history_and_block_tx_lookups():
+    seq, server = _node()
+    seq.send_raw_transaction({
+        "nonce": "0x0", "gasPrice": "0x2", "gas": "0x5208",
+        "from": SENDER, "to": "0x" + "22" * 20, "value": "0x5", "input": "0x",
+    })
+    blk = seq.build_block(timestamp=1_700_000_000)
+    fh = server.dispatch("eth_feeHistory", ["0x2", "latest", [50]])
+    assert fh["oldestBlock"] == "0x0"
+    assert len(fh["gasUsedRatio"]) == 2 and fh["gasUsedRatio"][1] > 0
+    assert len(fh["baseFeePerGas"]) == 3  # +1 for the next block
+    assert fh["reward"] == [["0x0"], ["0x0"]]
+    assert server.dispatch(
+        "eth_getBlockTransactionCountByNumber", ["0x1"]) == "0x1"
+    assert server.dispatch(
+        "eth_getBlockTransactionCountByHash", [blk["hash"]]) == "0x1"
+    tx = server.dispatch(
+        "eth_getTransactionByBlockNumberAndIndex", ["0x1", "0x0"])
+    assert tx["from"] == SENDER and tx["blockHash"] == blk["hash"]
+    assert server.dispatch(
+        "eth_getTransactionByBlockHashAndIndex", [blk["hash"], "0x1"]) is None
+    assert server.dispatch("eth_getUncleCountByBlockNumber", ["0x1"]) == "0x0"

@@ -19,10 +19,14 @@ flat keccak "state root" (VERDICT missing item 4); this module provides:
     memory expansion) — simplified flat costs, not consensus-exact, but
     enough to meter and bound execution
 
-Precompiles: 0x1 ecrecover, 0x2 sha256, 0x4 identity.
-Out of scope (documented simplifications): the remaining precompiles,
-access lists, refunds, EIP-1559 fee market (gasPrice is charged as
-given), SELFDESTRUCT sweeps balance without deletion scheduling.
+Precompiles: the full Ethereum 0x01-0x09 set — ecrecover, sha256,
+ripemd160, identity, modexp (EIP-198/2565), BN254 ecadd/ecmul
+(EIP-196), BN254 pairing check (EIP-197, backed by this framework's own
+ops/pairing.py — the L2 can verify its own Groth16 proofs on-chain),
+blake2f (EIP-152).
+Out of scope (documented simplifications): access lists, refunds,
+EIP-1559 fee market (gasPrice is charged as given), SELFDESTRUCT sweeps
+balance without deletion scheduling.
 """
 
 from __future__ import annotations
@@ -392,9 +396,9 @@ class EVM:
         if depth > MAX_DEPTH:
             raise _Halt()
         self._transfer(sender, to, value)
-        pre = _precompile(to, data)
+        pre = _precompile(to, data, gas)
         if pre is not None:
-            return pre, gas
+            return pre
         code = self.state.get(code_addr or to).code
         if not code:
             return b"", gas
@@ -727,34 +731,231 @@ class EVM:
         return (b"", gas_left)
 
 
-def _precompile(to: str, data: bytes) -> Optional[bytes]:
-    """The precompiles the rollup path needs: 0x1 ecrecover (the
-    secp256k1 role revm fills in the reference, SURVEY §2.9-bis),
-    0x2 sha256, 0x4 identity."""
+# blake2b constants for the 0x09 blake2f compression precompile (EIP-152)
+_B2_IV = (
+    0x6A09E667F3BCC908, 0xBB67AE8584CAA73B, 0x3C6EF372FE94F82B,
+    0xA54FF53A5F1D36F1, 0x510E527FADE682D1, 0x9B05688C2B3E6C1F,
+    0x1F83D9ABFB41BD6B, 0x5BE0CD19137E2179,
+)
+_B2_SIGMA = (
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    (14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3),
+    (11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4),
+    (7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8),
+    (9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13),
+    (2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9),
+    (12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11),
+    (13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10),
+    (6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5),
+    (10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0),
+)
+_U64 = (1 << 64) - 1
+
+
+def _blake2f_compress(rounds: int, h, m, t0, t1, final: bool):
+    v = list(h) + list(_B2_IV)
+    v[12] ^= t0
+    v[13] ^= t1
+    if final:
+        v[14] ^= _U64
+
+    def rotr(x, n):
+        return ((x >> n) | (x << (64 - n))) & _U64
+
+    def g(a, b, c, d, x, y):
+        v[a] = (v[a] + v[b] + x) & _U64
+        v[d] = rotr(v[d] ^ v[a], 32)
+        v[c] = (v[c] + v[d]) & _U64
+        v[b] = rotr(v[b] ^ v[c], 24)
+        v[a] = (v[a] + v[b] + y) & _U64
+        v[d] = rotr(v[d] ^ v[a], 16)
+        v[c] = (v[c] + v[d]) & _U64
+        v[b] = rotr(v[b] ^ v[c], 63)
+
+    for i in range(rounds):
+        s = _B2_SIGMA[i % 10]
+        g(0, 4, 8, 12, m[s[0]], m[s[1]])
+        g(1, 5, 9, 13, m[s[2]], m[s[3]])
+        g(2, 6, 10, 14, m[s[4]], m[s[5]])
+        g(3, 7, 11, 15, m[s[6]], m[s[7]])
+        g(0, 5, 10, 15, m[s[8]], m[s[9]])
+        g(1, 6, 11, 12, m[s[10]], m[s[11]])
+        g(2, 7, 8, 13, m[s[12]], m[s[13]])
+        g(3, 4, 9, 14, m[s[14]], m[s[15]])
+    return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+
+
+def _bn254_g1_parse(buf: bytes, off: int):
+    """Parse an EIP-196 G1 point (two 32-byte big-endian Fq words);
+    (0,0) is infinity; out-of-field or off-curve input is an error."""
+    from ..ops import bn254
+
+    x = int.from_bytes(buf[off : off + 32], "big")
+    y = int.from_bytes(buf[off + 32 : off + 64], "big")
+    if x >= bn254.Q or y >= bn254.Q:
+        raise _Halt()
+    if x == 0 and y == 0:
+        return None
+    p = (x, y)
+    if not bn254.h_on_curve_g1(p):
+        raise _Halt()
+    return p
+
+
+def _bn254_g2_parse(buf: bytes, off: int):
+    """EIP-197 G2 encoding: each Fq2 coordinate is (imaginary, real) —
+    a·i + b serialized as (a, b).  Requires on-curve AND r-torsion
+    membership ([r-1]Q == -Q), as the pairing precompile must."""
+    from ..ops import bn254
+
+    xi = int.from_bytes(buf[off : off + 32], "big")
+    xr = int.from_bytes(buf[off + 32 : off + 64], "big")
+    yi = int.from_bytes(buf[off + 64 : off + 96], "big")
+    yr = int.from_bytes(buf[off + 96 : off + 128], "big")
+    if max(xi, xr, yi, yr) >= bn254.Q:
+        raise _Halt()
+    if xi == xr == yi == yr == 0:
+        return None
+    q2 = ((xr, xi), (yr, yi))
+    if not bn254.h_on_curve_g2(q2):
+        raise _Halt()
+    end = bn254.h_ec_mul_jac_f(bn254.R - 1, q2, bn254.HOST_FQ2)
+    neg = (q2[0], ((-q2[1][0]) % bn254.Q, (-q2[1][1]) % bn254.Q))
+    if end != neg:
+        raise _Halt()
+    return q2
+
+
+def _modexp_gas(bsize: int, esize: int, msize: int, e_head: int) -> int:
+    """EIP-2565 pricing: multiplication complexity × iteration count / 3."""
+    words = (max(bsize, msize) + 7) // 8
+    mult = words * words
+    if esize <= 32:
+        it = e_head.bit_length() - 1 if e_head else 0
+    else:
+        it = 8 * (esize - 32) + (e_head.bit_length() - 1 if e_head else 0)
+    return max(200, mult * max(it, 1) // 3)
+
+
+def _precompile(to: str, data: bytes, gas: int) -> Optional[Tuple[bytes, int]]:
+    """The Ethereum precompile set 0x01-0x09 (the role revm's precompile
+    registry fills inside the reference's payload builder,
+    src/custom_reth/mod.rs:604-613): ecrecover, sha256, ripemd160,
+    identity, modexp (EIP-198/2565), BN254 ecadd/ecmul (EIP-196),
+    BN254 pairing check (EIP-197), blake2f (EIP-152).  The BN254 trio
+    reuses this framework's own prover curve ops (ops/bn254.py,
+    ops/pairing.py), so the L2 EVM can verify the Groth16 proofs this
+    framework emits on-chain.  Returns (return_data, gas_left) or None
+    when `to` is not a precompile; raises _Halt on invalid input / OOG
+    (the caller's CALL handler turns that into push-0 failure)."""
     n = int(to, 16)
+    if not 1 <= n <= 9:
+        return None
+
+    def use(cost: int) -> int:
+        if gas < cost:
+            raise _Halt()
+        return gas - cost
+
+    words = (len(data) + 31) // 32
     if n == 1:  # ecrecover
         from ..utils.secp256k1 import recover_address
 
+        rem = use(3000)
         buf = data.ljust(128, b"\x00")[:128]
         h = buf[0:32]
         v = int.from_bytes(buf[32:64], "big")
         r = int.from_bytes(buf[64:96], "big")
         s = int.from_bytes(buf[96:128], "big")
         if v not in (27, 28):
-            return b""
+            return b"", rem
         try:
             addr = recover_address(h, v - 27, r, s)
         except Exception:
-            return b""
+            return b"", rem
         if addr is None:
-            return b""
-        return bytes(12) + bytes.fromhex(addr[2:])
+            return b"", rem
+        return bytes(12) + bytes.fromhex(addr[2:]), rem
     if n == 2:  # sha256
         import hashlib
 
-        return hashlib.sha256(data).digest()
+        rem = use(60 + 12 * words)
+        return hashlib.sha256(data).digest(), rem
+    if n == 3:  # ripemd160
+        import hashlib
+
+        rem = use(600 + 120 * words)
+        d = hashlib.new("ripemd160", data).digest()
+        return bytes(12) + d, rem
     if n == 4:  # identity
-        return bytes(data)
+        return bytes(data), use(15 + 3 * words)
+    if n == 5:  # modexp
+        buf = data.ljust(96, b"\x00")
+        bsize = int.from_bytes(buf[0:32], "big")
+        esize = int.from_bytes(buf[32:64], "big")
+        msize = int.from_bytes(buf[64:96], "big")
+        if max(bsize, esize, msize) > 1 << 20:  # sanity bound
+            raise _Halt()
+        body = data[96:].ljust(bsize + esize + msize, b"\x00")
+        e_bytes = body[bsize : bsize + esize]
+        e_head = int.from_bytes(e_bytes[:32], "big")
+        rem = use(_modexp_gas(bsize, esize, msize, e_head))
+        if msize == 0:
+            return b"", rem
+        b = int.from_bytes(body[:bsize], "big")
+        e = int.from_bytes(e_bytes, "big")
+        m = int.from_bytes(body[bsize + esize : bsize + esize + msize], "big")
+        out = pow(b, e, m) if m else 0
+        return out.to_bytes(msize, "big"), rem
+    if n == 6:  # BN254 add (EIP-196; 150 gas per EIP-1108)
+        from ..ops import bn254
+
+        rem = use(150)
+        buf = data.ljust(128, b"\x00")[:128]
+        p = _bn254_g1_parse(buf, 0)
+        q = _bn254_g1_parse(buf, 64)
+        s = bn254.h_ec_add(p, q)
+        if s is None:
+            return bytes(64), rem
+        return s[0].to_bytes(32, "big") + s[1].to_bytes(32, "big"), rem
+    if n == 7:  # BN254 scalar mul (EIP-196; 6000 gas per EIP-1108)
+        from ..ops import bn254
+
+        rem = use(6000)
+        buf = data.ljust(96, b"\x00")[:96]
+        p = _bn254_g1_parse(buf, 0)
+        k = int.from_bytes(buf[64:96], "big")
+        s = bn254.h_ec_mul_jac_f(k, p) if p is not None else None
+        if s is None:
+            return bytes(64), rem
+        return s[0].to_bytes(32, "big") + s[1].to_bytes(32, "big"), rem
+    if n == 8:  # BN254 pairing check (EIP-197; 45000 + 34000/pair)
+        from ..ops import pairing as pr
+
+        if len(data) % 192:
+            raise _Halt()
+        k = len(data) // 192
+        rem = use(45000 + 34000 * k)
+        f = pr.F12_ONE
+        for i in range(k):
+            p = _bn254_g1_parse(data, 192 * i)
+            q2 = _bn254_g2_parse(data, 192 * i + 64)
+            if p is None or q2 is None:
+                continue
+            f = pr.f12_mul(f, pr.miller_loop(p, q2))
+        ok = pr.final_exponentiation(f) == pr.F12_ONE
+        return int(ok).to_bytes(32, "big"), rem
+    if n == 9:  # blake2f (EIP-152)
+        if len(data) != 213 or data[212] not in (0, 1):
+            raise _Halt()
+        rounds = int.from_bytes(data[0:4], "big")
+        rem = use(max(rounds, 1))
+        h = [int.from_bytes(data[4 + 8 * i : 12 + 8 * i], "little") for i in range(8)]
+        m = [int.from_bytes(data[68 + 8 * i : 76 + 8 * i], "little") for i in range(16)]
+        t0 = int.from_bytes(data[196:204], "little")
+        t1 = int.from_bytes(data[204:212], "little")
+        out = _blake2f_compress(rounds, h, m, t0, t1, data[212] == 1)
+        return b"".join(x.to_bytes(8, "little") for x in out), rem
     return None
 
 

@@ -173,6 +173,16 @@ class EigenRpcServer:
             if hasattr(self.chain, "send_raw_transaction"):
                 return self.chain.send_raw_transaction(params[0])
             raise ValueError("chain does not accept transactions")
+        if method == "eth_sendRawTransaction":
+            # wire-format ingestion: RLP/typed-envelope decode + sender
+            # recovery (the reth rpc surface the reference exposes)
+            from ..utils import ethtx
+
+            if not hasattr(self.chain, "send_raw_transaction"):
+                raise ValueError("chain does not accept transactions")
+            raw = bytes.fromhex(str(params[0])[2:])
+            tx = ethtx.decode_raw_tx(raw)
+            return self.chain.send_raw_transaction(tx)
         if method == "eth_getTransactionReceipt":
             if hasattr(self.chain, "get_transaction_receipt"):
                 return self.chain.get_transaction_receipt(params[0])

@@ -68,3 +68,68 @@ def recover_sender(tx: dict, default_chain_id: int):
         return None
     digest = legacy_sighash(tx, chain_id)  # None -> pre-155 payload
     return secp256k1.recover_address(digest, yp, r, s)
+
+
+def _hx(b: bytes) -> str:
+    return "0x" + (b.hex() or "0")
+
+
+def decode_raw_tx(raw: bytes) -> dict:
+    """Decode a raw signed transaction (the eth_sendRawTransaction wire
+    format reth accepts) into this framework's tx dict, recovering the
+    sender.  Supports legacy/EIP-155 RLP and the typed envelopes
+    0x01 (EIP-2930) / 0x02 (EIP-1559); typed txs are mapped onto the
+    internal gasPrice field (maxFeePerGas is charged as given — the
+    documented fee-market simplification in sequencer/evm.py)."""
+    raw = bytes(raw)
+    if not raw:
+        raise ValueError("empty raw tx")
+    if raw[0] in (0x01, 0x02):  # typed envelope
+        tx_type = raw[0]
+        items = rlp.decode(raw[1:])
+        if tx_type == 0x02:
+            (cid, nonce, _prio, max_fee, gas, to, value, data,
+             _acl, yp, r, s) = items
+            gas_price = rlp.decode_int(max_fee)
+        else:  # 0x01
+            (cid, nonce, gp, gas, to, value, data, _acl, yp, r, s) = items
+            gas_price = rlp.decode_int(gp)
+        chain_id = rlp.decode_int(cid)
+        sighash = keccak.keccak256_host(bytes([tx_type]) + rlp.encode(items[:-3]))
+        sender = secp256k1.recover_address(
+            sighash, rlp.decode_int(yp), rlp.decode_int(r), rlp.decode_int(s)
+        )
+        # normalized v carries the parity; chainId rides its own field
+        v = 27 + rlp.decode_int(yp)
+    else:  # legacy
+        items = rlp.decode(raw)
+        if not isinstance(items, list) or len(items) != 9:
+            raise ValueError("legacy tx must be a 9-item RLP list")
+        nonce, gp, gas, to, value, data, v_b, r, s = items
+        gas_price = rlp.decode_int(gp)
+        v = rlp.decode_int(v_b)
+        yp, chain_id = secp256k1.parity_from_v(v)
+        payload = [nonce, gp, gas, to, value, data]
+        if chain_id is not None:
+            payload += [chain_id, 0, 0]
+        sighash = keccak.keccak256_host(rlp.encode(payload))
+        sender = secp256k1.recover_address(
+            sighash, yp, rlp.decode_int(r), rlp.decode_int(s)
+        )
+    if sender is None:
+        raise ValueError("invalid signature: sender unrecoverable")
+    tx = {
+        "from": sender,
+        "nonce": _hx(items[1] if raw[0] in (0x01, 0x02) else items[0]),
+        "gasPrice": hex(gas_price),
+        "gas": _hx(gas),
+        "to": ("0x" + to.hex()) if to else None,
+        "value": _hx(value),
+        "input": "0x" + data.hex(),
+        "v": hex(v),
+        "r": _hx(r),
+        "s": _hx(s),
+    }
+    if chain_id is not None:
+        tx["chainId"] = hex(chain_id)
+    return tx

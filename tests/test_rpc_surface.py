@@ -167,3 +167,48 @@ def test_fee_history_and_block_tx_lookups():
     assert server.dispatch(
         "eth_getTransactionByBlockHashAndIndex", [blk["hash"], "0x1"]) is None
     assert server.dispatch("eth_getUncleCountByBlockNumber", ["0x1"]) == "0x0"
+
+
+def test_send_raw_transaction_legacy_and_typed():
+    """eth_sendRawTransaction: wire-format RLP decode + sender recovery
+    (the reth rpc ingestion path; our signer round-trips through it)."""
+    from eigen_zeth_tpu.utils import ethtx, rlp as rlp_m, secp256k1
+
+    seq, server = _node()
+    priv = 0xC0FFEE
+    sender = secp256k1.priv_to_address(priv)
+    seq.ledger.state.touch(sender).balance = 10**18
+
+    # legacy EIP-155, signed with the repo's settlement signer
+    tx = {"nonce": "0x0", "gasPrice": "0x2", "gas": "0x5208",
+          "to": "0x" + "22" * 20, "value": "0x5", "input": "0x"}
+    signed = ethtx.sign_legacy_tx(tx, 12345, priv)
+    raw = ethtx.encode_signed_raw(signed, 12345)
+    h = server.dispatch("eth_sendRawTransaction", ["0x" + raw.hex()])
+    assert h.startswith("0x")
+    seq.build_block(timestamp=1_700_000_100)
+    bal = server.dispatch("eth_getBalance", ["0x" + "22" * 20, "latest"])
+    assert int(bal, 16) == 5
+    # the recovered sender (not a caller-supplied from) paid the nonce
+    assert seq.ledger.state.get(sender).nonce == 1
+
+    # typed 0x02 (EIP-1559) envelope
+    from eigen_zeth_tpu.ops import keccak
+
+    payload = [12345, 1, 1, 2, 21000, bytes.fromhex("33" * 20), 7, b"", []]
+    sighash = keccak.keccak256_host(b"\x02" + rlp_m.encode(payload))
+    yp, r, s = secp256k1.sign(sighash, priv)
+    raw2 = b"\x02" + rlp_m.encode(payload + [yp, r, s])
+    decoded = ethtx.decode_raw_tx(raw2)
+    assert decoded["from"] == sender and decoded["chainId"] == hex(12345)
+    assert decoded["to"] == "0x" + "33" * 20 and int(decoded["value"], 16) == 7
+    server.dispatch("eth_sendRawTransaction", ["0x" + raw2.hex()])
+    seq.build_block(timestamp=1_700_000_200)
+    bal = server.dispatch("eth_getBalance", ["0x" + "33" * 20, "latest"])
+    assert int(bal, 16) == 7
+
+    # garbage bytes are rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        server.dispatch("eth_sendRawTransaction", ["0xdeadbeef"])

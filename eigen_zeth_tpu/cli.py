@@ -73,6 +73,10 @@ def build_parser() -> argparse.ArgumentParser:
     run.add_argument("--verify-signatures", action="store_true",
                      help="require valid secp256k1 signatures (revm "
                           "sender recovery; off for dev tooling)")
+    run.add_argument("--dev-fund", action="store_true",
+                     help="auto-fund accounts on first touch (reth --dev "
+                          "prefunded-accounts analog); the node path "
+                          "defaults to real balance enforcement")
     run.add_argument("--no-prover", action="store_true",
                      help="start without proving workers (sequencer+rpc only)")
     run.add_argument("--prover-addr", default=None,
@@ -146,6 +150,7 @@ def cmd_run(args, wait: bool = True) -> int:
         block_gas_limit=getattr(args, "block_gas_limit", None) or BLOCK_GAS_LIMIT,
         coinbase=getattr(args, "coinbase", None),
         txpool_max_size=getattr(args, "txpool_max_size", None) or 10_000,
+        auto_fund=getattr(args, "dev_fund", False),
     )
 
     settlement_kwargs = {}

@@ -84,11 +84,28 @@ class FriProverOutput:
 
 
 def fri_prove(
-    evals: GF, shift: int, transcript: Transcript, params: FriParams
+    evals: GF,
+    shift: int,
+    transcript: Transcript,
+    params: FriParams,
+    fused: bool | None = None,
 ) -> FriProverOutput:
-    """Commit + open. evals: (m,) coset evaluations (natural order)."""
+    """Commit + open. evals: (m,) coset evaluations (natural order).
+
+    fused=None auto-selects: on accelerator backends the whole protocol
+    runs as ONE jitted dispatch (models/fri_fused.py — byte-identical
+    proofs, no per-layer host sync); the host-orchestrated path below is
+    the reference implementation and the CPU/test default."""
     m = evals.lo.shape[-1]
     assert m & (m - 1) == 0
+    if fused is None:
+        import jax as _jax
+
+        fused = _jax.default_backend() != "cpu" and m > params.terminal_size
+    if fused:
+        from .fri_fused import fri_prove_fused
+
+        return fri_prove_fused(evals, shift, transcript, params)
     layers: List[FriLayerWitness] = []
     roots = []
     betas = []

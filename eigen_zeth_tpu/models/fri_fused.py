@@ -1,0 +1,300 @@
+"""Fused single-dispatch FRI prover — commit + open in ONE jitted program.
+
+Round-2 measurement (VERDICT): the full FRI protocol at 2^22 ran at
+46,951 elems/s while the fold kernel alone did ~618M elems/s — a
+~13,000x protocol tax.  The cause was structural: the host transcript
+sat between every fold (root -> absorb -> beta -> fold), forcing a
+device->host sync per layer, and every Merkle opening was its own
+gather/transfer.
+
+Fix: a DEVICE-side Fiat-Shamir transcript, bit-identical to the host
+`models.transcript.Transcript` (same Poseidon permutation, same
+absorb/challenge framing), so the entire commit phase — every fold,
+every per-layer Merkle tree, every beta derivation — plus the terminal
+interpolation, query-index derivation and ALL query-opening gathers
+trace into one XLA program.  The host reads back a single pytree and
+does pure JSON assembly.  The verifier (`fri.fri_verify`) is unchanged:
+proofs are byte-identical to the host-orchestrated `fri.fri_prove`
+(tested in tests/test_fri.py).
+
+Reference anchor: this is the commit/open hot path of the proving the
+reference delegates to its external eigen-prover service
+(proto/prover/v1/prover.proto:9-11; SURVEY.md §2.9-bis, BASELINE
+config 4: FRI commit/open on a 2^22 constraint polynomial).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import goldilocks as gl
+from ..ops import ntt as nttm
+from ..ops import poseidon
+from ..ops.goldilocks import GF
+from ..ops.poseidon import RATE, WIDTH, _sha_to_field
+from . import merkle
+
+
+def _const_scalar(v: int) -> GF:
+    """A host int as a () GF constant inside the current trace."""
+    v %= gl.P
+    return GF(jnp.uint32(v & 0xFFFFFFFF), jnp.uint32(v >> 32))
+
+
+class DeviceTranscript:
+    """Traced mirror of `transcript.Transcript`.
+
+    The sponge state lives on device as a (12,) GF array; the rate
+    position is a *python* int — every absorb/challenge sequence in the
+    protocol has a statically known length, so the position never needs
+    to be traced.  Bit-equality with the host transcript follows from
+    the shared Poseidon permutation (poseidon.perm == perm_host,
+    tested) and identical framing constants (_sha_to_field tags).
+    """
+
+    def __init__(self, state: GF, pos: int):
+        assert state.lo.shape == (WIDTH,)
+        self.state = state
+        self.pos = pos
+
+    def _permute(self):
+        self.state = poseidon.perm(self.state)
+        self.pos = 0
+
+    def _absorb_one(self, v: GF):
+        if self.pos == RATE:
+            self._permute()
+        i = self.pos
+        s = gl.add(GF(self.state.lo[i], self.state.hi[i]), v)
+        self.state = GF(
+            self.state.lo.at[i].set(s.lo), self.state.hi.at[i].set(s.hi)
+        )
+        self.pos += 1
+
+    def absorb(self, label: str, values: GF) -> None:
+        """values: GF of shape (k,) — absorbed element by element."""
+        self._absorb_one(_const_scalar(_sha_to_field("ezt-absorb/" + label)))
+        for i in range(values.lo.shape[0]):
+            self._absorb_one(GF(values.lo[i], values.hi[i]))
+
+    def challenges(self, label: str, n: int) -> GF:
+        self._absorb_one(_const_scalar(_sha_to_field("ezt-challenge/" + label)))
+        self._permute()
+        lanes_lo, lanes_hi = [], []
+        pos = 0
+        while len(lanes_lo) < n:
+            if pos == RATE:
+                self._permute()
+                pos = 0
+            lanes_lo.append(self.state.lo[pos])
+            lanes_hi.append(self.state.hi[pos])
+            pos += 1
+        self.pos = pos
+        return GF(jnp.stack(lanes_lo), jnp.stack(lanes_hi))
+
+    def challenge(self, label: str) -> GF:
+        c = self.challenges(label, 1)
+        return GF(c.lo[0], c.hi[0])
+
+
+def _fold_traced(evals: GF, beta: GF, shift: int) -> GF:
+    """fri.fold_layer with a TRACED beta scalar (shift stays static)."""
+    m = evals.lo.shape[-1]
+    half = m // 2
+    u = GF(evals.lo[..., :half], evals.hi[..., :half])
+    v = GF(evals.lo[..., half:], evals.hi[..., half:])
+    w_inv = gl.h_inv(gl.primitive_root_of_unity(m))
+    s_inv = gl.h_inv(shift)
+    # x_inv[j] = (shift * w^j)^-1 as a numpy constant ladder (trace-safe)
+    x_inv = gl.from_int_np(
+        gl.np_mulmod(gl.powers_np(w_inv, half), np.uint64(s_inv))
+    )
+    x_inv = GF(jnp.asarray(x_inv.lo), jnp.asarray(x_inv.hi))
+    inv2 = (gl.P + 1) // 2
+    even = gl.mul_scalar(gl.add(u, v), inv2)
+    odd = gl.mul(
+        gl.mul(gl.mul_scalar(gl.sub(u, v), inv2), x_inv),
+        GF(jnp.broadcast_to(beta.lo, u.lo.shape), jnp.broadcast_to(beta.hi, u.hi.shape)),
+    )
+    return gl.add(even, odd)
+
+
+def _commit_levels(leaves: GF) -> List[GF]:
+    """Leaf rows -> full Merkle level list, inside the current trace.
+
+    Same constant-shape lax.scan trick as merkle._commit_device_run (one
+    hash_two body in the graph, log2(n) runtime steps)."""
+    n = leaves.lo.shape[0]
+    levels_n = n.bit_length() - 1
+    digests = poseidon.hash_elements(leaves)  # (n, 4)
+    if levels_n == 0:
+        return [digests]
+
+    def step(d, _):
+        even = GF(d.lo[0::2], d.hi[0::2])
+        odd = GF(d.lo[1::2], d.hi[1::2])
+        h = poseidon.hash_two(even, odd)  # (n/2, 4)
+        d2 = GF(
+            jnp.concatenate([h.lo, d.lo[n // 2 :]], axis=0),
+            jnp.concatenate([h.hi, d.hi[n // 2 :]], axis=0),
+        )
+        return d2, h
+
+    _, ys = jax.lax.scan(step, digests, None, length=levels_n)
+    levels = [digests]
+    for k in range(levels_n):
+        live = n >> (k + 1)
+        levels.append(GF(ys.lo[k, :live], ys.hi[k, :live]))
+    return levels
+
+
+def _gather_paths(levels: List[GF], idx: jnp.ndarray) -> GF:
+    """Sibling digests bottom-up for a (Q,) index vector -> (Q, L, 4)."""
+    per_level = []
+    cur = idx
+    for level in levels[:-1]:
+        sib = cur ^ 1
+        per_level.append(GF(level.lo[sib], level.hi[sib]))  # (Q, 4)
+        cur = cur >> 1
+    return gl.stack(per_level, axis=1)  # (Q, L, 4)
+
+
+def _build_fused(m: int, shift: int, pos0: int, blowup: int, terminal: int,
+                 num_queries: int):
+    """Trace the full commit+open program for one (size, shift, pos) key."""
+
+    def run(state_lo, state_hi, ev_lo, ev_hi):
+        dt = DeviceTranscript(GF(state_lo, state_hi), pos0)
+        cur = GF(ev_lo, ev_hi)
+        cur_shift = shift
+        layer_wit = []  # (levels, u, v) per layer
+        roots_l, betas = [], []
+        shifts = []
+        while cur.lo.shape[-1] > terminal:
+            size = cur.lo.shape[-1]
+            half = size // 2
+            u = GF(cur.lo[:half], cur.hi[:half])
+            v = GF(cur.lo[half:], cur.hi[half:])
+            leaves = GF(
+                jnp.stack([u.lo, v.lo], axis=1), jnp.stack([u.hi, v.hi], axis=1)
+            )
+            levels = _commit_levels(leaves)
+            root = GF(levels[-1].lo[0], levels[-1].hi[0])  # (4,)
+            dt.absorb("fri-root", root)
+            beta = dt.challenge("fri-beta")
+            layer_wit.append((levels, u, v))
+            roots_l.append(root)
+            betas.append(beta)
+            cur = _fold_traced(cur, beta, cur_shift)
+            shifts.append(cur_shift)
+            cur_shift = gl.h_mul(cur_shift, cur_shift)
+
+        # terminal: interpolate, unshift, absorb the kept coefficients
+        tsize = cur.lo.shape[-1]
+        coeffs_shifted = nttm.intt(cur, nttm.make_plan(tsize, inverse=True))
+        s_inv = gl.h_inv(cur_shift)
+        unshift = gl.from_int_np(gl.powers_np(s_inv, tsize))
+        coeffs = gl.mul(coeffs_shifted,
+                        GF(jnp.asarray(unshift.lo), jnp.asarray(unshift.hi)))
+        keep = tsize // blowup
+        final = GF(coeffs.lo[:keep], coeffs.hi[:keep])
+        tail = GF(coeffs.lo[keep:], coeffs.hi[keep:])
+        bad = jnp.any(tail.lo | tail.hi)  # degree bound violated
+        dt.absorb("fri-final", final)
+
+        # query indices (mask fits in the lo limb: m/2 < 2^32)
+        mask = m // 2 - 1
+        cs = dt.challenges("fri-query", num_queries)
+        indices = (cs.lo & jnp.uint32(mask)).astype(jnp.int32)  # (Q,)
+
+        # openings: u/v gathers + sibling paths, all in-trace
+        layers_out = []
+        js = indices
+        for levels, u, v in layer_wit:
+            half = u.lo.shape[-1]
+            jj = js & jnp.int32(half - 1)
+            u_vals = GF(u.lo[jj], u.hi[jj])
+            v_vals = GF(v.lo[jj], v.hi[jj])
+            paths = _gather_paths(levels, jj)
+            layers_out.append({"u": u_vals, "v": v_vals, "paths": paths})
+            js = jj
+
+        return {
+            "state": dt.state,
+            "pos": dt.pos,  # static; returned for the host to mirror
+            "roots": gl.stack(roots_l, axis=0) if roots_l else gl.zeros((0, 4)),
+            "final": final,
+            "bad": bad,
+            "indices": indices,
+            "layers": layers_out,
+        }
+
+    return run
+
+
+_FUSED_CACHE: dict = {}
+
+
+def fri_prove_fused(evals: GF, shift: int, transcript, params):
+    """Drop-in fused replacement for fri.fri_prove (same proof bytes).
+
+    One device dispatch; one host readback.  Falls back to the host
+    path for zero-layer FRI (m <= terminal_size), where fusing buys
+    nothing and recursion needs the host structure anyway."""
+    from . import fri as frim  # local import to avoid a cycle
+
+    m = evals.lo.shape[-1]
+    if m <= params.terminal_size:
+        return frim.fri_prove(evals, shift, transcript, params)
+    assert m & (m - 1) == 0
+
+    state0, pos0 = transcript.export_state()
+    key = (m, shift % gl.P, pos0, params.blowup, params.terminal_size,
+           params.num_queries)
+    if key not in _FUSED_CACHE:
+        _FUSED_CACHE[key] = jax.jit(_build_fused(*key))
+    st = gl.from_int(np.array(state0, dtype=np.uint64))
+    out = _FUSED_CACHE[key](st.lo, st.hi, evals.lo, evals.hi)
+    pos_after = out.pop("pos")
+    host = jax.device_get(out)  # ONE readback for the whole proof
+
+    def ints(g: GF) -> np.ndarray:
+        return np.asarray(g.lo, dtype=np.uint64) | (
+            np.asarray(g.hi, dtype=np.uint64) << np.uint64(32)
+        )
+
+    assert not bool(host["bad"]), "terminal degree too high"
+    roots = ints(host["roots"])  # (L, 4)
+    final_coeffs = [int(x) for x in ints(host["final"])]
+    indices = [int(i) for i in host["indices"]]
+
+    queries = []
+    layer_arrays = [
+        (ints(l["u"]), ints(l["v"]), ints(l["paths"])) for l in host["layers"]
+    ]
+    for q, idx in enumerate(indices):
+        layer_openings = []
+        for (u_vals, v_vals, paths) in layer_arrays:
+            layer_openings.append(
+                {
+                    "u": str(int(u_vals[q])),
+                    "v": str(int(v_vals[q])),
+                    "path": [[str(int(x)) for x in d] for d in paths[q]],
+                }
+            )
+        queries.append({"index": idx, "layers": layer_openings})
+
+    proof = {
+        "domain_size": m,
+        "shift": str(shift),
+        "roots": [[str(int(x)) for x in r] for r in roots],
+        "final_coeffs": [str(c) for c in final_coeffs],
+        "queries": queries,
+    }
+    # mirror the transcript advance on the host object
+    transcript.set_state([int(x) for x in ints(host["state"])], pos_after)
+    return frim.FriProverOutput(proof=proof, layer0_indices=indices)

@@ -73,3 +73,15 @@ class Transcript:
         mask = domain_size - 1
         assert domain_size & mask == 0
         return [c & mask for c in self.challenges(label, n)]
+
+    # -- state export/import: the fused device prover (models/fri_fused.py)
+    #    runs the identical sponge on-device and hands the state back so
+    #    host and device transcripts stay one logical object.
+
+    def export_state(self) -> tuple[list[int], int]:
+        return list(self._state), self._pos
+
+    def set_state(self, state: list[int], pos: int) -> None:
+        assert len(state) == WIDTH and 0 <= pos <= RATE
+        self._state = [v % gl.P for v in state]
+        self._pos = pos

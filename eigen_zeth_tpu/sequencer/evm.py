@@ -222,6 +222,20 @@ class EVM:
         if to is None or to in ("", "0x"):
             intrinsic += CREATE_GAS
         s_acc = self.state.touch(sender, fund=True)
+        # nonce discipline (revm enforces this in the reference's loop,
+        # custom_reth/mod.rs:604-640): a tx carrying a nonce must match
+        # the account nonce exactly — stale nonces are replays, future
+        # nonces must wait.  Txs without a nonce field (dev tooling)
+        # implicitly use the account nonce.
+        if tx.get("nonce") is not None:
+            want = _hx(tx["nonce"])
+            if want != s_acc.nonce:
+                return {
+                    "status": 0,
+                    "gasUsed": 0,
+                    "logs": [],
+                    "error": "nonce-stale" if want < s_acc.nonce else "nonce-future",
+                }
         upfront = value + gas_limit * gas_price
         if s_acc.balance < upfront or gas_limit < intrinsic:
             return {"status": 0, "gasUsed": 0, "logs": [], "error": "prefund"}

@@ -119,6 +119,9 @@ def decode_raw_tx(raw: bytes) -> dict:
     if sender is None:
         raise ValueError("invalid signature: sender unrecoverable")
     tx = {
+        # canonical tx hash: keccak of the signed envelope wire bytes —
+        # identical for legacy RLP and typed (type || rlp) envelopes
+        "hash": "0x" + keccak.keccak256_host(raw).hex(),
         "from": sender,
         "nonce": _hx(items[1] if raw[0] in (0x01, 0x02) else items[0]),
         "gasPrice": hex(gas_price),

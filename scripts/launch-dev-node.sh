@@ -10,6 +10,7 @@ DB=${DB:-memory}
 PORT=${PORT:-8546}
 
 exec python -m eigen_zeth_tpu run \
+  --dev-fund \
   --database "$DB" \
   --settlement mock \
   --rpc-port "$PORT" \

@@ -35,6 +35,7 @@ sleep 2
 
 BRIDGE_SERVICE_ADDR="http://127.0.0.1:${BRIDGE_PORT}" \
 python -m eigen_zeth_tpu run \
+  --dev-fund \
   --database memory \
   --settlement custom \
   --rpc-port "$RPC_PORT" \

@@ -25,6 +25,7 @@ trap 'kill $PROVER_PID 2>/dev/null || true' EXIT
 sleep 2
 
 python -m eigen_zeth_tpu run \
+  --dev-fund \
   --database memory \
   --settlement mock \
   --rpc-port "$RPC_PORT" \

@@ -109,3 +109,31 @@ def test_zero_layer_fri_roundtrip():
     bad["final_coeffs"][0] = str((int(bad["final_coeffs"][0]) + 1) % gl.P)
     ok2, _ = fri.fri_verify(bad, Transcript("t"), params)
     assert not ok2
+
+
+def test_fused_prover_matches_host_prover():
+    """models/fri_fused.py must produce byte-identical proofs to the
+    host-orchestrated path and leave the transcript in the same state."""
+    _, evals = _commit_poly(256)
+    t_host, t_fused = Transcript("fri"), Transcript("fri")
+    out_host = fri.fri_prove(evals, SHIFT, t_host, PARAMS, fused=False)
+    out_fused = fri.fri_prove(evals, SHIFT, t_fused, PARAMS, fused=True)
+    assert out_host.proof == out_fused.proof
+    assert out_host.layer0_indices == out_fused.layer0_indices
+    assert t_host.export_state() == t_fused.export_state()
+    ok, _ = fri.fri_verify(out_fused.proof, Transcript("fri"), PARAMS)
+    assert ok
+
+
+def test_fused_prover_mid_transcript():
+    """Fused prove must splice correctly into a transcript with prior
+    absorbs/challenges (the STARK passes a mid-state transcript)."""
+    _, evals = _commit_poly(128)
+    t1, t2 = Transcript("stark"), Transcript("stark")
+    for t in (t1, t2):
+        t.absorb("public", [5, 6, 7])
+        t.challenges("alpha", 3)
+    a = fri.fri_prove(evals, SHIFT, t1, PARAMS, fused=False)
+    b = fri.fri_prove(evals, SHIFT, t2, PARAMS, fused=True)
+    assert a.proof == b.proof
+    assert t1.export_state() == t2.export_state()

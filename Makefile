@@ -25,6 +25,9 @@ bench: ## Run the benchmark harness (prints the headline JSON line)
 bench-full: ## Benchmarks + per-kernel speed-of-light roofline reports
 	@$(PY) bench.py --full
 
+bench-warm: ## Pre-populate the XLA compile cache (no deadline; run once)
+	@EZT_BENCH_DEADLINE=100000 $(PY) bench.py
+
 install: ## Install the package into the active environment
 	@$(PY) -m pip install -e . --no-deps
 

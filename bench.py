@@ -1,7 +1,14 @@
 """Benchmark harness — headline: Goldilocks NTT throughput per chip.
 
-stdout: exactly ONE JSON line
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+stdout: the headline JSON line
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+printed immediately after the NTT section and RE-printed (enriched) after
+every further section — the LAST line is the most complete result, and a
+harness kill mid-section still leaves parseable output.  A global
+deadline (EZT_BENCH_DEADLINE, default 840 s) skips sections that no
+longer fit, so the process exits 0 inside the driver's window; `make
+bench-warm` pre-populates the XLA compile cache so a driver run spends
+its budget on measurements, not compiles.
 Baseline: BASELINE.json's north-star 2^24 NTT elements/s/chip (the
 reference publishes no numbers of its own — BASELINE.md).
 
@@ -157,6 +164,32 @@ def bench_mont_mul():
     return n / dt
 
 
+def _cached_test_points(n_log2: int):
+    """gen_test_points with an on-disk cache (the device combine costs
+    ~30 s at 2^18 — pure bench setup, not a measured kernel)."""
+    import jax.numpy as jnp
+
+    from eigen_zeth_tpu.ops import msm
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", ".")
+    path = os.path.join(cache_dir, f"msm_points_{n_log2}.npz")
+    if os.path.exists(path):
+        z = np.load(path)
+        return (
+            jnp.asarray(z["xs"]),
+            jnp.asarray(z["ys"]),
+            [int(d) for d in z["dlogs"]],  # decimal strings -> ints
+        )
+    xs, ys, dlogs = msm.gen_test_points(n_log2)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        np.savez(path, xs=np.asarray(xs), ys=np.asarray(ys),
+                 dlogs=np.asarray([str(d) for d in dlogs]))
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        log(f"msm point cache write failed: {e!r}")
+    return xs, ys, dlogs
+
+
 def bench_msm(n_log2: int = 18, c: int = 13, serial: int = 32, window_group: int = 32):
     """BASELINE config 3 (target 2^20 points/s): G1 MSM over DISTINCT
     points.  Times the production shape — points resident on device (an
@@ -168,7 +201,7 @@ def bench_msm(n_log2: int = 18, c: int = 13, serial: int = 32, window_group: int
 
     n = 1 << n_log2
     t0 = time.time()
-    xs, ys, dlogs = msm.gen_test_points(n_log2)
+    xs, ys, dlogs = _cached_test_points(n_log2)
     log(f"msm point gen 2^{n_log2} (sqrt-size host sets + device combine): "
         f"{time.time() - t0:.1f}s")
     rng = np.random.default_rng(3)
@@ -270,7 +303,7 @@ def bench_fri_full(n_log2: int = 22):
     t0 = time.time()
     run()
     log(f"fri full first call (compile+run): {time.time() - t0:.1f}s")
-    dt = timeit_host(run, iters=3)
+    dt = timeit_host(run, iters=1)
     log(
         f"fri commit+open 2^{n_log2} (full protocol, {params.num_queries} queries):"
         f" {dt:9.2f} s -> {m / dt:,.0f} elems/s"
@@ -307,7 +340,7 @@ def bench_stark_chunk(n_log2: int = 18):
     p = run()
     assert int(p["n"]) == n
     log(f"stark chunk first call (compile+run): {time.time() - t0:.1f}s")
-    dt = timeit_host(run, iters=2)
+    dt = timeit_host(run, iters=1)
     log(
         f"chunk STARK prove, 2^{n_log2}-row trace (LDE 2^{n_log2 + 2}):"
         f" {dt:9.2f} s -> {n / dt:,.0f} trace rows/s"
@@ -360,20 +393,53 @@ BASELINE_MSM_POINTS_PER_S = float(1 << 20)  # BASELINE config 3 target
 
 
 def main() -> None:
+    """Bench contract (VERDICT r2 item 1): the headline JSON line prints
+    immediately after the NTT section and is RE-printed, enriched, after
+    every further section — the last line is the most complete, and a
+    driver kill mid-section still leaves a parseable result.  A global
+    deadline (EZT_BENCH_DEADLINE, default 840 s — under the driver's
+    observed >= 900 s window) skips sections that no longer fit so the
+    process itself always exits 0."""
     full = "--full" in sys.argv
-    # headline first; every further bench is fail-soft so one bad kernel /
-    # cold compile cannot cost the whole JSON line
+    t_start = time.time()
+    deadline = float(os.environ.get("EZT_BENCH_DEADLINE", "840"))
     elems_per_s = bench_ntt()
     extra = {}
 
-    def soft(name, fn, fmt=lambda v: round(v), budget_s=2400):
+    def emit():
+        print(
+            json.dumps(
+                {
+                    "metric": "goldilocks_ntt_2e20_throughput_per_chip",
+                    "value": round(elems_per_s),
+                    "unit": "elems/s",
+                    "vs_baseline": round(
+                        elems_per_s / BASELINE_NTT_ELEMS_PER_S, 3
+                    ),
+                    "extra": extra,
+                }
+            ),
+            flush=True,
+        )
+
+    emit()  # headline lands before any further (fail-soft) section
+
+    def soft(name, fn, fmt=lambda v: round(v), budget_s=420):
         import signal as _sig
 
+        remaining = deadline - (time.time() - t_start)
+        budget = int(min(budget_s, remaining))
+        if budget < 45:
+            log(f"{name} SKIPPED: only {remaining:.0f}s of deadline left")
+            extra[name] = None
+            emit()
+            return
+
         def _alarm(sig, frm):  # pragma: no cover - watchdog
-            raise TimeoutError(f"{name} exceeded {budget_s}s")
+            raise TimeoutError(f"{name} exceeded {budget}s")
 
         old = _sig.signal(_sig.SIGALRM, _alarm)
-        _sig.alarm(budget_s)
+        _sig.alarm(budget)
         try:
             extra[name] = fmt(fn())
         except Exception as e:  # pragma: no cover - resilience path
@@ -382,13 +448,14 @@ def main() -> None:
         finally:
             _sig.alarm(0)
             _sig.signal(_sig.SIGALRM, old)
+        emit()
 
     soft("msm_g1_2e18_points_per_s", bench_msm)
     if extra["msm_g1_2e18_points_per_s"]:
         extra["msm_vs_baseline_2e20_per_s"] = round(
             extra["msm_g1_2e18_points_per_s"] / BASELINE_MSM_POINTS_PER_S, 3
         )
-    soft("fri_full_2e22_elems_per_s", bench_fri_full)
+    soft("fri_full_2e22_elems_per_s", bench_fri_full, budget_s=480)
     soft("stark_chunk_2e18_trace_wall_s", bench_stark_chunk,
          fmt=lambda v: round(v, 2))
     soft("e2e_batch_proof_wall_s", bench_e2e_batch, fmt=lambda v: round(v, 2))
@@ -396,17 +463,7 @@ def main() -> None:
         soft("merkle_2e16_leaves_per_s", bench_poseidon_merkle)
         soft("mont_mul_per_s", bench_mont_mul)
         soft("fri_fold_2e22_elems_per_s", bench_fri_fold)
-    print(
-        json.dumps(
-            {
-                "metric": "goldilocks_ntt_2e20_throughput_per_chip",
-                "value": round(elems_per_s),
-                "unit": "elems/s",
-                "vs_baseline": round(elems_per_s / BASELINE_NTT_ELEMS_PER_S, 3),
-                "extra": extra,
-            }
-        )
-    )
+    emit()
 
 
 if __name__ == "__main__":

@@ -171,7 +171,11 @@ def cmd_run(args, wait: bool = True) -> int:
         metrics_server = rpc.MetricsServer(mhost or "127.0.0.1", int(mport)).start()
         log.info("metrics listening on %s:%d", mhost or "127.0.0.1", metrics_server.port)
 
-    sequencer.start_auto_mine(stop, args.auto_mine_interval)
+    # auto-mine is the PoC dev mode (reference README.md:13-18); interval
+    # <= 0 disables it so an external CL driver (sequencer/cl_driver.py,
+    # lighthouse's role) produces blocks through the engine API instead
+    if args.auto_mine_interval > 0:
+        sequencer.start_auto_mine(stop, args.auto_mine_interval)
 
     operator = None
     if not args.no_prover:
@@ -228,18 +232,23 @@ def cmd_prover(args, wait: bool = True):
     env = global_env()
     l2_addr = args.l2_addr or env.l2_addr
     executor = ChainExecutor(JsonRpcClient(l2_addr))
-    # test profile: tiny non-zero-layer params (recursion auto-disables);
-    # default profile: BatchProver's own recursion-compatible defaults
+    # test profile: tiny chunks, digest aggregation; default profile:
+    # BatchProver's production defaults (4096-row chunks, fold recursion)
+    test_profile = args.stark_profile == "test"
     params = (
         stark.StarkParams(blowup=4, num_queries=2, terminal_size=16)
-        if args.stark_profile == "test"
+        if test_profile
         else None
     )
     # test profile implies eager: XLA CPU compiles of the EC graphs are
     # prohibitively slow for CI-scale proving
-    use_jit = not (args.no_jit or args.stark_profile == "test")
-    wrap = "linear" if args.stark_profile == "test" else "mimc"
-    prover = BatchProver(executor=executor, stark_params=params, use_jit=use_jit, wrap=wrap)
+    use_jit = not (args.no_jit or test_profile)
+    wrap = "linear" if test_profile else "mimc"
+    prover = BatchProver(
+        executor=executor, stark_params=params, use_jit=use_jit, wrap=wrap,
+        chunk_trace_rows=16 if test_profile else None,
+        recursion=False if test_profile else None,
+    )
     server = ProverServiceServer(prover, host=args.host, port=args.port).start()
     log.info("prover service listening on %s:%d (l2=%s)", args.host, server.port, l2_addr)
     if wait:  # pragma: no cover - interactive path

@@ -524,7 +524,12 @@ def prove(
     lde_fn = _lde_jit(air, shift)
     lde_cols = lde_fn(_columns(trace_rows))  # (C, m)
     rows = GF(lde_cols.lo.T, lde_cols.hi.T)  # (m, C)
-    tree = merkle.commit_leaves(rows, prefer_host=False)
+    # prefer_host auto-selects: device trees on TPU, host bigints on the
+    # CPU test backend — forcing the device path here made every AIR
+    # shape pay a ~1-5 min XLA CPU compile of its Poseidon tree module
+    # (the round-3 suite blowup; Poseidon2's host perm is ~30x cheaper
+    # than round 2's, so host commits are fast where it matters)
+    tree = merkle.commit_leaves(rows)
 
     transcript = Transcript(f"ezt-air/{air.name}")
     transcript.absorb("public", [len(publics)] + [int(v) % gl.P for v in publics])

@@ -109,11 +109,11 @@ def _fold_traced(evals: GF, beta: GF, shift: int) -> GF:
     v = GF(evals.lo[..., half:], evals.hi[..., half:])
     w_inv = gl.h_inv(gl.primitive_root_of_unity(m))
     s_inv = gl.h_inv(shift)
-    # x_inv[j] = (shift * w^j)^-1 as a numpy constant ladder (trace-safe)
-    x_inv = gl.from_int_np(
-        gl.np_mulmod(gl.powers_np(w_inv, half), np.uint64(s_inv))
-    )
-    x_inv = GF(jnp.asarray(x_inv.lo), jnp.asarray(x_inv.hi))
+    # x_inv[j] = (shift * w^j)^-1 via the DEVICE doubling ladder —
+    # log2(half) vector muls.  A numpy constant here would embed a
+    # 2^21-element dense literal per layer into the HLO (~64 MB total at
+    # 2^22), which made the remote-compile path pathologically slow.
+    x_inv = gl.mul(gl.powers(w_inv, half), gl.full((half,), s_inv))
     inv2 = (gl.P + 1) // 2
     even = gl.mul_scalar(gl.add(u, v), inv2)
     odd = gl.mul(
@@ -123,31 +123,48 @@ def _fold_traced(evals: GF, beta: GF, shift: int) -> GF:
     return gl.add(even, odd)
 
 
+# below this level width the constant-shape scan's redundant hashing is
+# cheaper than adding more unrolled hash_two subgraphs to the trace
+UNROLL_MIN = 4096
+
+
 def _commit_levels(leaves: GF) -> List[GF]:
     """Leaf rows -> full Merkle level list, inside the current trace.
 
-    Same constant-shape lax.scan trick as merkle._commit_device_run (one
-    hash_two body in the graph, log2(n) runtime steps)."""
+    Large levels are UNROLLED (true halving shapes — the work is the
+    n + n/2 + ... ≈ 2n hashes the tree actually needs); the small tail
+    uses the constant-shape lax.scan trick (one hash_two body, log2
+    steps, redundant-lane hashing that is negligible at tail widths).
+    The round-2 all-scan version hashed n/2 lanes at EVERY level —
+    (log2 n)/2 × the true work — which dominated the fused FRI runtime
+    at 2^22 (measured ~10x excess)."""
     n = leaves.lo.shape[0]
-    levels_n = n.bit_length() - 1
     digests = poseidon.hash_elements(leaves)  # (n, 4)
+    levels = [digests]
+    cur = digests
+    while cur.lo.shape[0] > UNROLL_MIN:
+        even = GF(cur.lo[0::2], cur.hi[0::2])
+        odd = GF(cur.lo[1::2], cur.hi[1::2])
+        cur = poseidon.hash_two(even, odd)
+        levels.append(cur)
+    n_tail = cur.lo.shape[0]
+    levels_n = n_tail.bit_length() - 1
     if levels_n == 0:
-        return [digests]
+        return levels
 
     def step(d, _):
         even = GF(d.lo[0::2], d.hi[0::2])
         odd = GF(d.lo[1::2], d.hi[1::2])
-        h = poseidon.hash_two(even, odd)  # (n/2, 4)
+        h = poseidon.hash_two(even, odd)  # (n_tail/2, 4)
         d2 = GF(
-            jnp.concatenate([h.lo, d.lo[n // 2 :]], axis=0),
-            jnp.concatenate([h.hi, d.hi[n // 2 :]], axis=0),
+            jnp.concatenate([h.lo, d.lo[n_tail // 2 :]], axis=0),
+            jnp.concatenate([h.hi, d.hi[n_tail // 2 :]], axis=0),
         )
         return d2, h
 
-    _, ys = jax.lax.scan(step, digests, None, length=levels_n)
-    levels = [digests]
+    _, ys = jax.lax.scan(step, cur, None, length=levels_n)
     for k in range(levels_n):
-        live = n >> (k + 1)
+        live = n_tail >> (k + 1)
         levels.append(GF(ys.lo[k, :live], ys.hi[k, :live]))
     return levels
 

@@ -98,41 +98,59 @@ import jax as _jax
 import jax.numpy as _jnp
 
 
+# below this level width the constant-shape scan's redundant hashing is
+# cheaper than more unrolled hash_two subgraphs (compile time)
+UNROLL_MIN = 4096
+
+
 @_jax.jit
 def _commit_device_run(lo, hi):
     """One jitted program: leaf digests + every tree level.
 
-    Constant-shape trick: each lax.scan step hashes ALL n/2 adjacent
-    pairs of a fixed-size (n, 4) working array (the live level occupies a
-    halving prefix; the tail is junk) and emits the (n/2, 4) result.
-    One hash_two in the trace, log2(n) runtime steps, ~2x redundant
-    hashing — a fine trade for minutes of compile time.  Module-level jit
-    so the executable caches per shape."""
-    n = lo.shape[0]
-    levels_n = n.bit_length() - 1
+    Hybrid schedule: levels wider than UNROLL_MIN are unrolled with true
+    halving shapes — the work is the ~2n hashes the tree actually needs.
+    The tail levels use the constant-shape lax.scan trick (each step
+    hashes ALL n_tail/2 adjacent pairs of a fixed-size working array;
+    the live level occupies a halving prefix) — one hash_two body in the
+    trace for log2(n_tail) levels.  The round-2 all-scan version hashed
+    n/2 lanes at EVERY level, (log2 n)/2 × the true work — measured ~10x
+    excess at 2^21-leaf trees.  Module-level jit so the executable
+    caches per shape."""
     digests = poseidon.hash_elements(GF(lo, hi))  # (n, 4)
+    big = []
+    cur = digests
+    while cur.lo.shape[0] > UNROLL_MIN:
+        even = GF(cur.lo[0::2], cur.hi[0::2])
+        odd = GF(cur.lo[1::2], cur.hi[1::2])
+        cur = poseidon.hash_two(even, odd)
+        big.append(cur)
+    n_tail = cur.lo.shape[0]
+    levels_n = n_tail.bit_length() - 1
 
     def step(d, _):
         even = GF(d.lo[0::2], d.hi[0::2])
         odd = GF(d.lo[1::2], d.hi[1::2])
-        h = poseidon.hash_two(even, odd)  # (n/2, 4)
+        h = poseidon.hash_two(even, odd)  # (n_tail/2, 4)
         d2 = GF(
-            _jnp.concatenate([h.lo, d.lo[n // 2 :]], axis=0),
-            _jnp.concatenate([h.hi, d.hi[n // 2 :]], axis=0),
+            _jnp.concatenate([h.lo, d.lo[n_tail // 2 :]], axis=0),
+            _jnp.concatenate([h.hi, d.hi[n_tail // 2 :]], axis=0),
         )
         return d2, h
 
-    _, ys = _jax.lax.scan(step, digests, None, length=levels_n)
-    return digests, ys
+    if levels_n:
+        _, ys = _jax.lax.scan(step, cur, None, length=levels_n)
+    else:
+        ys = gl.zeros((0, n_tail // 2 if n_tail > 1 else 1, 4))
+    return digests, big, ys
 
 
 def _commit_device_jit(leaves: GF):
     n = leaves.lo.shape[0]
-    levels_n = n.bit_length() - 1
-    digests, ys = _commit_device_run(leaves.lo, leaves.hi)
-    levels = [digests]
-    for k in range(levels_n):
-        live = n >> (k + 1)
+    digests, big, ys = _commit_device_run(leaves.lo, leaves.hi)
+    levels = [digests] + list(big)
+    n_tail = levels[-1].lo.shape[0]
+    for k in range(n_tail.bit_length() - 1):
+        live = n_tail >> (k + 1)
         levels.append(GF(ys.lo[k, :live], ys.hi[k, :live]))
     return levels
 

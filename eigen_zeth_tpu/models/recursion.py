@@ -46,7 +46,7 @@ factors, so the composition quotient stays < 2n and FRI proves it on the
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -73,8 +73,21 @@ def _is_full_round(r: int) -> bool:
 # layout: named column indices
 
 
+def n_fold_layers(n_c: int, terminal: int) -> int:
+    """Fold layers of the child FRI: fold while the domain exceeds the
+    terminal size (mirrors fri.fri_prove's loop; 0 = zero-layer child)."""
+    m_c = 4 * n_c
+    r = 0
+    while (m_c >> r) > terminal:
+        r += 1
+    return r
+
+
 class Layout:
-    def __init__(self, n_c: int):
+    def __init__(self, n_c: int, terminal: int | None = None):
+        if terminal is None:
+            terminal = 4 * n_c  # zero-layer child (round-2 shape)
+        self.R = n_fold_layers(n_c, terminal)
         self.k_sq = n_c.bit_length() - 1  # squarings to reach x^n_c
         c = 0
 
@@ -105,6 +118,28 @@ class Layout:
         self.zinv, self.i1u, self.iwu, self.i1v, self.iwv = take(5)
         (self.tu, self.tv, self.q1u, self.q1v, self.q2u, self.q3u,
          self.q2v, self.q3v, self.su, self.sv) = take(10)
+        if self.R:
+            # fold-layer verification registers (VERDICT r2 item 4: lift
+            # recursion past zero-layer FRI).  Per fold layer l:
+            #   fu/fv   opened leaf pair (u_l, v_l) of the layer tree
+            #   fx      x_l = shift^(2^l)·w_{size_l}^{jj_l}; fx[0] == xacc
+            #   fy      y_l = x_l^2 (degree helper; y_{R-1} is ALSO the
+            #           terminal evaluation point)
+            #   ff      fold value: 2·x·f = x·(u+v) + beta·(u−v)
+            #   ftb     top direction bit of jj_l (selects u/v downstream
+            #           and the sign in x_{l+1} = (−1)^b·x_l²)
+            #   fjx     the layer's pair index (pinned from iacc)
+            # Persistent publics: froot (4 per layer), fbeta (1 per layer).
+            R = self.R
+            self.fu = take(R)
+            self.fv = take(R)
+            self.fx = take(R)
+            self.fy = take(R)
+            self.ff = take(R)
+            self.ftb = take(R)
+            self.fjx = take(R)
+            self.froot = [take(4) for _ in range(R)]
+            self.fbeta = take(R)
         self.n_cols = c
 
 
@@ -113,17 +148,35 @@ class Layout:
 
 
 class Schedule:
-    def __init__(self, n_c: int):
+    def __init__(self, n_c: int, terminal: int | None = None):
+        if terminal is None:
+            terminal = 4 * n_c
         self.n_c = n_c
         self.m_c = 4 * n_c  # child LDE domain (blowup 4)
         self.depth = self.m_c.bit_length() - 1
-        self.n_blocks = max(1, n_c // RATE)
-        assert n_c % RATE == 0 or n_c < RATE, "n_c must be rate-aligned"
+        self.R = n_fold_layers(n_c, terminal)
+        # the coefficient stream: the child's terminal polynomial — all
+        # n_c coefficients for a zero-layer child, terminal/blowup after
+        # R folds
+        self.n_stream = (terminal // 4) if self.R else n_c
+        self.n_blocks = max(1, self.n_stream // RATE)
+        assert self.n_stream % RATE == 0 or self.n_stream < RATE, (
+            "terminal coefficient count must be rate-aligned"
+        )
+        # per fold layer l: tree over half_l = m_c/2^(l+1) leaves
+        self.fdepth = [self.depth - 1 - l for l in range(self.R)]
         slots = []
         for p in range(4):
             slots.append(("leaf", p))
             for k in range(self.depth):
                 slots.append(("comp", p, k))
+        self.fleaf_slots = []
+        for l in range(self.R):
+            self.fleaf_slots.append(len(slots))
+            slots.append(("fleaf", l))
+            for k in range(self.fdepth[l]):
+                slots.append(("fcomp", l, k))
+        self.idx_slot = len(slots)
         slots.append(("idx",))
         self.stream0_slot = len(slots)
         for b in range(self.n_blocks):
@@ -133,16 +186,23 @@ class Schedule:
             slots.append(("pad",))
         self.slots = slots
         self.L = n_slots * SLOT
-        self.idx_slot = 4 * (1 + self.depth)
         self.last_stream_slot = self.stream0_slot + self.n_blocks - 1
-        self.arith_row = self.last_stream_slot * SLOT + min(RATE, n_c)
+        self.arith_row = self.last_stream_slot * SLOT + min(RATE, self.n_stream)
         self.cdcheck_row = self.last_stream_slot * SLOT + 31
         self.chainx_row = self.idx_slot * SLOT + 31
-        # last comp slot of each path
+        # last comp slot of each trace path
         self.pend_rows = [
             (p * (1 + self.depth) + self.depth) * SLOT + 31 for p in range(4)
         ]
         self.leaf_rows = [p * (1 + self.depth) * SLOT for p in range(4)]
+        # fold-path landmarks: leaf row, root-equality (pend) row, and the
+        # row whose load carries the TOP direction bit (last comp load)
+        self.fleaf_rows = [s * SLOT for s in self.fleaf_slots]
+        self.fpend_rows = [
+            (self.fleaf_slots[l] + self.fdepth[l]) * SLOT + 31
+            for l in range(self.R)
+        ]
+        self.flast_rows = [r - SLOT for r in self.fpend_rows]  # top-bit load
 
     def is_perm(self, s) -> bool:
         return self.slots[s][0] != "pad"
@@ -153,7 +213,7 @@ class Schedule:
         L = self.L
         z = lambda: np.zeros(L, dtype=np.uint64)
         pat = {
-            "g_full": z(), "g_partial": z(), "g_hold": z(),
+            "g_full": z(), "g_partial": z(), "g_hold": z(), "g_init": z(),
             "load_comp": z(), "load_comp_p1": z(), "load_idx": z(),
             "load_stream0": z(), "load_stream": z(),
             "leafrow0": z(), "leafrow1": z(), "leafrow2": z(), "leafrow3": z(),
@@ -164,6 +224,10 @@ class Schedule:
             "h_period": z(), "h_iacc": z(), "h_xacc": z(), "h_hu": z(),
             "h_chain": z(), "h_idx1": z(),
         }
+        for l in range(self.R):
+            pat[f"fleafrow{l}"] = z()
+            pat[f"fpend{l}"] = z()
+            pat[f"flast{l}"] = z()
         w_m = gl.primitive_root_of_unity(self.m_c)
         free_into = np.zeros(L, dtype=bool)  # state-free transitions
         for s, slot in enumerate(self.slots):
@@ -177,13 +241,15 @@ class Schedule:
                 else:  # wraps into next period's leaf_0: state free
                     free_into[base + 31] = True
                 continue
+            # Poseidon2 slot: row 0 -> 1 applies the initial external
+            # linear layer; rows 1..30 are the 30 rounds; row 31 loads
+            pat["g_init"][base] = 1
             for r in range(NR):
-                pat["g_full" if _is_full_round(r) else "g_partial"][base + r] = 1
-            pat["g_hold"][base + 30] = 1
+                pat["g_full" if _is_full_round(r) else "g_partial"][base + 1 + r] = 1
             # the load transition into the NEXT slot sits at base+31
             nxt = self.slots[(s + 1) % len(self.slots)]
-            if nxt[0] == "leaf":
-                free_into[base + 31] = True  # pinned by leafrow value checks
+            if nxt[0] in ("leaf", "fleaf"):
+                free_into[base + 31] = True  # pinned by leaf value checks
             elif nxt[0] == "comp":
                 pat["load_comp"][base + 31] = 1
                 _, p, k = nxt
@@ -191,6 +257,11 @@ class Schedule:
                     pat["load_comp_p1"][base + 31] = 1
                     pat["wk"][base + 31] = gl.h_pow(w_m, 1 << k)
                 pat["pow2"][base + 31] = (1 << k) % gl.P
+            elif nxt[0] == "fcomp":
+                # fold-layer Merkle loads share the trace paths' bit-select
+                # machinery (load_comp) and index accumulation (pow2)
+                pat["load_comp"][base + 31] = 1
+                pat["pow2"][base + 31] = (1 << nxt[2]) % gl.P
             elif nxt[0] == "idx":
                 pat["load_idx"][base + 31] = 1
             elif nxt[0] == "stream":
@@ -201,7 +272,7 @@ class Schedule:
             elif nxt[0] == "pad":
                 pat["g_hold"][base + 31] = 1
             if kind == "stream":
-                hsteps = min(RATE, self.n_c)
+                hsteps = min(RATE, self.n_stream)
                 pat["horner"][base : base + hsteps] = 1
                 pat["dhold"][base : base + max(hsteps - 1, 0)] = 1
         for p, row in enumerate(zip(self.leaf_rows, ["leafrow0", "leafrow1", "leafrow2", "leafrow3"])):
@@ -215,11 +286,15 @@ class Schedule:
         pat["chainx"][self.chainx_row] = 1
         pat["cdcheck"][self.cdcheck_row] = 1
         pat["arith"][self.arith_row] = 1
+        for l in range(self.R):
+            pat[f"fleafrow{l}"][self.fleaf_rows[l]] = 1
+            pat[f"fpend{l}"][self.fpend_rows[l]] = 1
+            pat[f"flast{l}"][self.flast_rows[l]] = 1
         # register-hold selectors
         pat["h_period"][: L - 1] = 1
         pat["h_iacc"][:] = 1
         pat["h_iacc"][L - 1] = 0
-        leaf_pre = [(r - 1) % L for r in self.leaf_rows]
+        leaf_pre = [(r - 1) % L for r in self.leaf_rows + self.fleaf_rows]
         for r in leaf_pre:
             pat["h_iacc"][r] = 0
         pat["h_iacc"][pat["load_comp"] == 1] = 0
@@ -237,7 +312,8 @@ class Schedule:
         pat["h_idx1"][self.pend_rows[0]] = 0
         # coverage: every transition row is gated by exactly one state term
         cover = (
-            pat["g_full"] + pat["g_partial"] + pat["g_hold"] + pat["load_comp"]
+            pat["g_full"] + pat["g_partial"] + pat["g_hold"] + pat["g_init"]
+            + pat["load_comp"]
             + pat["load_idx"] + pat["load_stream0"] + pat["load_stream"]
             + free_into.astype(np.uint64)
         )
@@ -252,7 +328,7 @@ def _rc_patterns() -> List[np.ndarray]:
     for i in range(W):
         p = np.zeros(SLOT, dtype=np.uint64)
         for r in range(NR):
-            p[r] = rc[r][i]
+            p[1 + r] = rc[r][i]  # round r sits at slot row 1+r (row 0 = init)
         out.append(p)
     return out
 
@@ -272,16 +348,27 @@ def _selD_patterns(n_c: int) -> List[np.ndarray]:
 
 
 @functools.lru_cache(maxsize=4)
-def recursion_air(n_c: int, shift_c: int = gl.MULTIPLICATIVE_GENERATOR):
+def recursion_air(
+    n_c: int,
+    shift_c: int = gl.MULTIPLICATIVE_GENERATOR,
+    terminal: int | None = None,
+):
     """Build the verifier AIR for children of trace size n_c.  Returns
     (air, layout, schedule, per) where per maps periodic-column names to
-    indices (rc_i -> 'rc0'.., selD_j -> 'sd0'..)."""
-    lay = Layout(n_c)
-    sch = Schedule(n_c)
+    indices (rc_i -> 'rc0'.., selD_j -> 'sd0'..).
+
+    terminal = the child FRI's terminal size.  None / >= 4·n_c is the
+    zero-layer shape (round-2); smaller terminals add R fold layers of
+    in-AIR verification — each layer one more Merkle path (the same
+    leaf/comp machinery) plus the fold linear-combination and index/x
+    consistency checks (VERDICT r2 item 4)."""
+    lay = Layout(n_c, terminal)
+    sch = Schedule(n_c, terminal)
     pat = sch.patterns()
     gamma = chunk_gamma()
     w_last_c = gl.h_pow(gl.primitive_root_of_unity(n_c), n_c - 1)
-    mds = poseidon.mds_matrix()
+    me = poseidon.external_matrix()
+    mi = poseidon.internal_matrix()
 
     periodic: List[np.ndarray] = []
     per: Dict[str, int] = {}
@@ -294,12 +381,13 @@ def recursion_air(n_c: int, shift_c: int = gl.MULTIPLICATIVE_GENERATOR):
         addp(name, arr)
     for i, arr in enumerate(_rc_patterns()):
         addp(f"rc{i}", arr)
-    for j, arr in enumerate(_selD_patterns(n_c)):
+    for j, arr in enumerate(_selD_patterns(sch.n_stream)):
         addp(f"sd{j}", arr)
 
     C = air_m.Constraint
     cons: List[air_m.Constraint] = []
-    mds_rows = [[mds[i][j] for j in range(W)] for i in range(W)]
+    me_rows = [[me[i][j] % gl.P for j in range(W)] for i in range(W)]
+    mi_rows = [[mi[i][j] % gl.P for j in range(W)] for i in range(W)]
 
     def S_of(a, cur):
         return a.stack([cur[c] for c in lay.state])
@@ -338,15 +426,20 @@ def recursion_air(n_c: int, shift_c: int = gl.MULTIPLICATIVE_GENERATOR):
         t = a.add(S, RC_of(a, p))
         A6 = a.stack([cur[c] for c in lay.a6])
         so = a.mul(A6, t)  # sboxed lanes (x^7 via aux)
-        MDS = a.const_matrix(mds_rows)
-        full_out = a.matvec(MDS, so)
-        # partial rounds: MDS . (so_0, t_1..t_11) = MDS.t + mds[:,0]*(so_0-t_0)
-        mds_t = a.matvec(MDS, t)
-        col0 = a.const_matrix([mds_rows[i][0] for i in range(W)])  # (W,)
+        ME = a.const_matrix(me_rows)
+        MI = a.const_matrix(mi_rows)
+        # full round: M_E . sbox(t); initial linear layer: M_E . S
+        full_out = a.matvec(ME, so)
+        init_out = a.matvec(ME, S)
+        # partial round: M_I . (so_0, t_1..t_11)
+        #              = M_I.t + M_I[:,0]*(so_0 - t_0)
+        mi_t = a.matvec(MI, t)
+        col0 = a.const_matrix([mi_rows[i][0] for i in range(W)])  # (W,)
         delta0 = a.sub(a.get0(so, 0), a.get0(t, 0))  # (m,)
-        part_out = a.add(mds_t, a.scale_rows(col0, delta0))
+        part_out = a.add(mi_t, a.scale_rows(col0, delta0))
         v = a.mul(p[per["g_full"]], a.sub(NxtS, full_out))
         v = a.add(v, a.mul(p[per["g_partial"]], a.sub(NxtS, part_out)))
+        v = a.add(v, a.mul(p[per["g_init"]], a.sub(NxtS, init_out)))
         v = a.add(v, a.mul(p[per["g_hold"]], a.sub(NxtS, S)))
         # comp load: lanes 0-3 bit-select (sib, digest); 4-7 mirrored; 8-11 0
         b = cur[lay.bit]
@@ -366,7 +459,7 @@ def recursion_air(n_c: int, shift_c: int = gl.MULTIPLICATIVE_GENERATOR):
         # stream loads: sponge init / absorb (D read at the NEXT row)
         NxtD = a.stack([nxt[c] for c in lay.D])
         tgt_s0 = a.concat0(
-            [NxtD, a.stack([a.full(sch.n_c)]), a.zeros(W - RATE - 1)]
+            [NxtD, a.stack([a.full(sch.n_stream)]), a.zeros(W - RATE - 1)]
         )
         v = a.add(v, a.mul(p[per["load_stream0"]], a.sub(NxtS, tgt_s0)))
         tgt_sc = a.concat0(
@@ -423,6 +516,8 @@ def recursion_air(n_c: int, shift_c: int = gl.MULTIPLICATIVE_GENERATOR):
     def iacc_reset(a, cur, nxt, p):
         g = a.add(a.add(p[per["leafrow0"]], p[per["leafrow1"]]),
                   a.add(p[per["leafrow2"]], p[per["leafrow3"]]))
+        for l in range(lay.R):
+            g = a.add(g, p[per[f"fleafrow{l}"]])
         return a.mul(g, cur[lay.iacc])
 
     cons.append(C("iacc-reset", iacc_reset, domain="all"))
@@ -502,7 +597,12 @@ def recursion_air(n_c: int, shift_c: int = gl.MULTIPLICATIVE_GENERATOR):
             selD = a.stack([p[per[f"sd{j}"]] for j in range(RATE)])
             D = a.stack([cur[c] for c in lay.D])
             coeff = a.sum0(a.mul(selD, D))
-            arg = a.sub(a.c(0), cur[lay.xacc]) if neg else cur[lay.xacc]
+            if lay.R:
+                # terminal evaluation point after R folds: x_term =
+                # x_{R-1}^2 = fy[R-1] (no sign flip at the terminal)
+                arg = cur[lay.fy[lay.R - 1]]
+            else:
+                arg = a.sub(a.c(0), cur[lay.xacc]) if neg else cur[lay.xacc]
             step = a.sub(nx, a.add(a.mul(cur[acc_col], arg), coeff))
             v = a.mul(p[per["horner"]], step)
             v = a.add(v, a.mul(p[per["load_stream0"]], nx))
@@ -511,7 +611,8 @@ def recursion_air(n_c: int, shift_c: int = gl.MULTIPLICATIVE_GENERATOR):
         return fn
 
     cons.append(C("horner-u", horner(lay.hu, False)))
-    cons.append(C("horner-v", horner(lay.hv, True)))
+    if not lay.R:
+        cons.append(C("horner-v", horner(lay.hv, True)))
 
     def dhold(a, cur, nxt, p):
         D = a.stack([cur[c] for c in lay.D])
@@ -527,6 +628,10 @@ def recursion_air(n_c: int, shift_c: int = gl.MULTIPLICATIVE_GENERATOR):
                     lay.tu, lay.tv, lay.q1u, lay.q1v, lay.q2u, lay.q3u,
                     lay.q2v, lay.q3v, lay.su, lay.sv]
     )
+    if lay.R:
+        period_regs = period_regs + (
+            lay.fu + lay.fv + lay.fx + lay.fy + lay.ff + lay.ftb + lay.fjx
+        )
 
     def period_hold(a, cur, nxt, p):
         R = a.stack([cur[c] for c in period_regs])
@@ -537,6 +642,10 @@ def recursion_air(n_c: int, shift_c: int = gl.MULTIPLICATIVE_GENERATOR):
 
     # --- trace-persistent registers (publics; one family) --------------------
     persist_regs = lay.root + [lay.iv, lay.out] + lay.alphas + lay.cd
+    if lay.R:
+        persist_regs = persist_regs + [
+            c for quad in lay.froot for c in quad
+        ] + lay.fbeta
 
     def persist(a, cur, nxt, p):
         R = a.stack([cur[c] for c in persist_regs])
@@ -610,27 +719,120 @@ def recursion_air(n_c: int, shift_c: int = gl.MULTIPLICATIVE_GENERATOR):
     ar(lambda a, cur: a.sub(
         cur[lay.sv], a.add(a.mul(cur[lay.alphas[1]], cur[lay.q2v]),
                            a.mul(cur[lay.alphas[2]], cur[lay.q3v]))), "s-v")
-    # final: alpha1*q1 + s == Horner evaluation
+    # final: alpha1*q1 + s == the committed composition value — the
+    # terminal Horner evaluation for zero-layer children, the FRI
+    # layer-0 opened pair (fu0, fv0) when fold layers are verified
+    cu_tgt = (lambda cur: cur[lay.fu[0]]) if lay.R else (lambda cur: cur[lay.hu])
+    cv_tgt = (lambda cur: cur[lay.fv[0]]) if lay.R else (lambda cur: cur[lay.hv])
     ar(lambda a, cur: a.sub(
         a.add(a.mul(cur[lay.alphas[0]], cur[lay.q1u]), cur[lay.su]),
-        cur[lay.hu]), "comp-eq-u")
+        cu_tgt(cur)), "comp-eq-u")
     ar(lambda a, cur: a.sub(
         a.add(a.mul(cur[lay.alphas[0]], cur[lay.q1v]), cur[lay.sv]),
-        cur[lay.hv]), "comp-eq-v")
+        cv_tgt(cur)), "comp-eq-v")
+
+    # --- fold-layer verification (R >= 1) -------------------------------------
+    if lay.R:
+        # leaf pinning: layer-l leaf slot hashes the opened pair (u, v)
+        def fleaf_family(l):
+            def fn(a, cur, nxt, p):
+                g = p[per[f"fleafrow{l}"]]
+                S = a.stack([cur[c] for c in lay.state])
+                want = a.concat0(
+                    [
+                        a.stack([cur[lay.fu[l]], cur[lay.fv[l]]]),
+                        a.zeros(RATE - 2),
+                        a.stack([a.full(2)]),
+                        a.zeros(W - RATE - 1),
+                    ]
+                )
+                return a.mul(g, a.sub(S, want))
+            return fn
+
+        # root equality at the layer path's end
+        def froot_eq(l):
+            def fn(a, cur, nxt, p):
+                S4 = a.stack([cur[c] for c in lay.state[:4]])
+                Rt = a.stack([cur[c] for c in lay.froot[l]])
+                return a.mul(p[per[f"fpend{l}"]], a.sub(S4, Rt))
+            return fn
+
+        # top-bit and pair-index pinning
+        def ftb_pin(l):
+            def fn(a, cur, nxt, p):
+                return a.mul(p[per[f"flast{l}"]],
+                             a.sub(cur[lay.ftb[l]], cur[lay.bit]))
+            return fn
+
+        def fjx_pin(l):
+            def fn(a, cur, nxt, p):
+                return a.mul(p[per[f"fpend{l}"]],
+                             a.sub(cur[lay.fjx[l]], cur[lay.iacc]))
+            return fn
+
+        for l in range(lay.R):
+            cons.append(C(f"fleaf{l}", fleaf_family(l), domain="all", arity=W))
+            cons.append(C(f"froot{l}", froot_eq(l), domain="all", arity=4))
+            cons.append(C(f"ftb{l}", ftb_pin(l), domain="all"))
+            cons.append(C(f"fjx{l}", fjx_pin(l), domain="all"))
+
+        # arithmetic checks (all period-constant registers, one gated row):
+        #   x ladder        fx0 == xacc;  fy_l == fx_l^2;
+        #                   fx_{l+1} == (-1)^{ftb_l}·fy_l  (= fy - 2·tb·fy)
+        #   fold relation   2·fx·ff == fx·(fu+fv) + beta·(fu-fv)
+        #   layer chaining  ff_l == (1-tb_l)·fu_{l+1} + tb_l·fv_{l+1}
+        #   index chaining  fjx_0 == idx1;
+        #                   fjx_l == fjx_{l+1} + ftb_l·half_{l+1}
+        #   terminal        hu (Horner at fy_{R-1}) == ff_{R-1}
+        ar(lambda a, cur: a.sub(cur[lay.fx[0]], cur[lay.xacc]), "fx0-eq")
+        ar(lambda a, cur: a.sub(cur[lay.fjx[0]], cur[lay.idx1]), "fjx0-eq")
+        for l in range(lay.R):
+            ar(lambda a, cur, l=l: a.sub(
+                cur[lay.fy[l]], a.mul(cur[lay.fx[l]], cur[lay.fx[l]])),
+               f"fy-{l}")
+            ar(lambda a, cur, l=l: a.sub(
+                a.mul(a.c(2), a.mul(cur[lay.fx[l]], cur[lay.ff[l]])),
+                a.add(
+                    a.mul(cur[lay.fx[l]],
+                          a.add(cur[lay.fu[l]], cur[lay.fv[l]])),
+                    a.mul(cur[lay.fbeta[l]],
+                          a.sub(cur[lay.fu[l]], cur[lay.fv[l]])),
+                )), f"fold-{l}")
+        for l in range(lay.R - 1):
+            ar(lambda a, cur, l=l: a.sub(
+                cur[lay.fx[l + 1]],
+                a.sub(cur[lay.fy[l]],
+                      a.mul(a.c(2), a.mul(cur[lay.ftb[l]], cur[lay.fy[l]])))),
+               f"fxchain-{l}")
+            ar(lambda a, cur, l=l: a.sub(
+                a.sub(cur[lay.ff[l]], cur[lay.fu[l + 1]]),
+                a.mul(cur[lay.ftb[l]],
+                      a.sub(cur[lay.fv[l + 1]], cur[lay.fu[l + 1]]))),
+               f"fsel-{l}")
+            half_next = 1 << (sch.fdepth[l] - 1)
+            ar(lambda a, cur, l=l, h=half_next: a.sub(
+                cur[lay.fjx[l]],
+                a.add(cur[lay.fjx[l + 1]],
+                      a.mul(cur[lay.ftb[l]], a.c(h)))), f"fjxchain-{l}")
+        ar(lambda a, cur: a.sub(cur[lay.hu], cur[lay.ff[lay.R - 1]]),
+           "terminal-eq")
 
     the_air = air_m.Air(
         n=0,  # instance-dependent: set per Qc in attestation_air
         n_cols=lay.n_cols,
         periodic=periodic,
         constraints=cons,
-        name=f"ezt-recursion/{n_c}",
+        name=(f"ezt-recursion/{n_c}" if not lay.R
+              else f"ezt-recursion/{n_c}/t{sch.n_stream * 4}"),
     )
     return the_air, lay, sch, per
 
 
 @functools.lru_cache(maxsize=8)
-def attestation_air(n_c: int, q_c: int) -> Tuple[air_m.Air, Layout, Schedule, dict]:
-    base, lay, sch, per = recursion_air(n_c)
+def attestation_air(
+    n_c: int, q_c: int, terminal: int | None = None
+) -> Tuple[air_m.Air, Layout, Schedule, dict]:
+    base, lay, sch, per = recursion_air(n_c, terminal=terminal)
     n = q_c * sch.L
     the_air = air_m.Air(
         n=n,
@@ -648,21 +850,27 @@ def attestation_air(n_c: int, q_c: int) -> Tuple[air_m.Air, Layout, Schedule, di
 
 def replay_child(header: dict, q_c: int):
     """The cheap O(header) transcript replay the aggregation verifier runs
-    itself: derive the child's composition alphas and query indices.
-    Mirrors stark.verify_chunk + fri_verify's zero-layer path."""
+    itself: derive the child's composition alphas, per-fold-layer betas,
+    and query indices.  Mirrors stark.verify_chunk + fri_verify's replay
+    (zero-layer children have no roots and an empty beta list)."""
     n_c = int(header["n"])
     iv = int(header["public"]["iv"])
     out = int(header["public"]["out"])
     gamma = int(header["public"]["gamma"])
     root = [int(x) for x in header["trace_root"]]
     coeffs = [int(c) for c in header["final_coeffs"]]
+    roots = [[int(x) for x in r] for r in header.get("roots", [])]
     t = Transcript("ezt-chunk-stark")
     t.absorb("public", [n_c, iv, out, gamma])
     t.absorb("trace-root", root)
     alphas = t.challenges("alpha", 3)
+    betas = []
+    for r in roots:
+        t.absorb("fri-root", r)
+        betas.append(t.challenge("fri-beta"))
     t.absorb("fri-final", coeffs)
     indices = t.challenge_indices("fri-query", q_c, (4 * n_c) // 2)
-    return alphas, indices
+    return alphas, betas, indices
 
 
 def chain_digest(indices: List[int]) -> List[int]:
@@ -689,19 +897,29 @@ def child_header(child_proof: dict) -> dict:
         "public": dict(child_proof["public"]),
         "trace_root": list(child_proof["trace_root"]),
         "final_coeffs": list(child_proof["fri"]["final_coeffs"]),
+        # fold-layer commitment roots (empty for zero-layer children);
+        # betas are transcript-derived from these on replay
+        "roots": [list(r) for r in child_proof["fri"].get("roots", [])],
     }
 
 
-def _instance(header: dict, alphas, indices):
+def header_terminal(header: dict) -> int:
+    """The child FRI's terminal size, recovered from the header: the
+    terminal polynomial keeps terminal/blowup coefficients."""
+    return 4 * len(header["final_coeffs"])
+
+
+def _instance(header: dict, alphas, betas, indices):
     """Publics + boundary constraints for one attestation."""
     n_c = int(header["n"])
+    terminal = header_terminal(header)
     root = [int(x) for x in header["trace_root"]]
     iv = int(header["public"]["iv"])
     out = int(header["public"]["out"])
     cd = coeffs_digest(header["final_coeffs"])
     chd = chain_digest(indices)
-    lay = Layout(n_c)
-    sch = Schedule(n_c)
+    lay = Layout(n_c, terminal)
+    sch = Schedule(n_c, terminal)
     n = len(indices) * sch.L
     B = air_m.Boundary
     bnds = (
@@ -712,7 +930,13 @@ def _instance(header: dict, alphas, indices):
         + [B(lay.chain[j], 0, 0) for j in range(4)]
         + [B(lay.chain[j], n - 1, chd[j]) for j in range(4)]
     )
-    publics = [n_c, len(indices)]
+    if lay.R:
+        roots = [[int(x) for x in r] for r in header["roots"]]
+        assert len(roots) == lay.R and len(betas) == lay.R
+        for l in range(lay.R):
+            bnds += [B(lay.froot[l][j], 0, roots[l][j]) for j in range(4)]
+            bnds += [B(lay.fbeta[l], 0, betas[l])]
+    publics = [n_c, len(indices), terminal]
     return publics, bnds
 
 
@@ -727,42 +951,56 @@ def _pose_consts():
     global _RC_NP, _MDS_NP
     if _RC_NP is None:
         _RC_NP = np.array(poseidon.round_constants(), dtype=np.uint64)
-        _MDS_NP = np.array(poseidon.mds_matrix(), dtype=np.uint64)
+        _MDS_NP = (
+            np.array(poseidon.external_matrix(), dtype=np.uint64) % np.uint64(gl.P),
+            np.array(poseidon.internal_matrix(), dtype=np.uint64) % np.uint64(gl.P),
+        )
     return _RC_NP, _MDS_NP
+
+
+def _matvec_np(mat: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """(W, W) const matrix x (Q, W) rows -> (Q, W), mod p."""
+    mm, am = gl.np_mulmod, gl.np_addmod
+    out = np.zeros_like(v)
+    for i in range(W):
+        acc = np.zeros(v.shape[0], dtype=np.uint64)
+        for j in range(W):
+            acc = am(acc, mm(v[:, j], mat[i][j]))
+        out[:, i] = acc
+    return out
 
 
 def _perm_rows_np(state0: np.ndarray):
     """(Q, 12) input states -> (state_rows (Q, 32, 12),
     aux (Q, 32, 3, 12), final (Q, 12)).
-    aux[..., 0/1/2, i] = A2/A4/A6 of lane i at each round row."""
-    rc, mds = _pose_consts()
+
+    Poseidon2 slot layout: row 0 holds the INPUT state (pinned by leaf /
+    load checks); the row-0 transition applies the initial external
+    matrix; rows 1..30 hold the per-round states (aux at those rows);
+    row 31 holds the final state (digest)."""
+    rc, (me, mi) = _pose_consts()
     q = state0.shape[0]
     rows = np.zeros((q, SLOT, W), dtype=np.uint64)
     aux = np.zeros((q, SLOT, 3, W), dtype=np.uint64)
-    s = state0.astype(np.uint64)
+    s = state0.astype(np.uint64) % np.uint64(gl.P)
     mm, am = gl.np_mulmod, gl.np_addmod
+    rows[:, 0] = s
+    s = _matvec_np(me, s)  # initial linear layer
     for r in range(NR):
-        rows[:, r] = s
+        row = 1 + r
+        rows[:, row] = s
         t = am(s, rc[r][None, :])
         a2 = mm(t, t)
         a4 = mm(a2, a2)
         a6 = mm(a4, a2)
-        aux[:, r, 0], aux[:, r, 1], aux[:, r, 2] = a2, a4, a6
+        aux[:, row, 0], aux[:, row, 1], aux[:, row, 2] = a2, a4, a6
         so = mm(a6, t)
         if _is_full_round(r):
-            out = so
+            s = _matvec_np(me, so)
         else:
             out = t.copy()
             out[:, 0] = so[:, 0]
-        # MDS: s'[i] = sum_j mds[i][j] * out[j]
-        s_new = np.zeros_like(s)
-        for i in range(W):
-            acc = np.zeros(q, dtype=np.uint64)
-            for j in range(W):
-                acc = am(acc, mm(out[:, j], mds[i][j]))
-            s_new[:, i] = acc
-        s = s_new
-    rows[:, NR] = s
+            s = _matvec_np(mi, out)
     rows[:, NR + 1] = s
     return rows, aux, s
 
@@ -775,9 +1013,10 @@ def build_verifier_trace(child_proof: dict, q_c: int):
     trace, which air.prove rejects (FRI terminal-degree gate)."""
     n_c = int(child_proof["n"])
     m_c = 4 * n_c
-    air, lay, sch, per = attestation_air(n_c, q_c)
     header = child_header(child_proof)
-    alphas, indices = replay_child(header, q_c)
+    terminal = header_terminal(header)
+    air, lay, sch, per = attestation_air(n_c, q_c, terminal)
+    alphas, betas, indices = replay_child(header, q_c)
     assert len(child_proof["fri"]["queries"]) == q_c
     shift_c = int(child_proof["shift"])
     gamma = int(child_proof["public"]["gamma"])
@@ -785,7 +1024,7 @@ def build_verifier_trace(child_proof: dict, q_c: int):
     out_v = int(child_proof["public"]["out"])
     root = [int(x) for x in child_proof["trace_root"]]
     coeffs = [int(c) for c in child_proof["fri"]["final_coeffs"]]
-    assert len(coeffs) == n_c, "terminal coefficient count mismatch"
+    assert len(coeffs) == sch.n_stream, "terminal coefficient count mismatch"
     rev = [c % gl.P for c in reversed(coeffs)]
     w_m = gl.primitive_root_of_unity(m_c)
     w_last_c = gl.h_pow(gl.primitive_root_of_unity(n_c), n_c - 1)
@@ -822,6 +1061,13 @@ def build_verifier_trace(child_proof: dict, q_c: int):
     tr[:, :, lay.out] = out_v
     for j in range(3):
         tr[:, :, lay.alphas[j]] = alphas[j]
+    if lay.R:
+        froots = [[int(x) for x in r] for r in child_proof["fri"]["roots"]]
+        assert len(froots) == lay.R
+        for l in range(lay.R):
+            tr[:, :, lay.fbeta[l]] = betas[l] % gl.P
+            for j in range(4):
+                tr[:, :, lay.froot[l][j]] = froots[l][j] % gl.P
     for p in range(4):
         tr[:, :, lay.la[p]] = la[:, p : p + 1]
         tr[:, :, lay.ld[p]] = ld[:, p : p + 1]
@@ -874,7 +1120,8 @@ def build_verifier_trace(child_proof: dict, q_c: int):
             tr[:, b : b + SLOT, lay.iacc] = run_idx.astype(np.uint64)[:, None]
             dig = fill_perm(slot, st0)
 
-    # iacc holds path 3's final index from the idx slot to period end
+    # iacc holds the last path's final index from the idx slot to period
+    # end (path 3 for zero-layer; filled again below for fold layers)
     tr[:, sch.idx_slot * SLOT :, lay.iacc] = (
         idxs[:, 3].astype(np.uint64)[:, None]
     )
@@ -896,6 +1143,82 @@ def build_verifier_trace(child_proof: dict, q_c: int):
         tr[:, b:, lay.xacc] = xval[:, None]  # forward fill to period end
     x_u = xval  # shift * w^jj
 
+    # --- fold-layer paths + registers (R >= 1) --------------------------------
+    if lay.R:
+        qlayers = [child_proof["fri"]["queries"][q]["layers"] for q in range(Q)]
+        x_l = x_u.copy()  # x_0 = shift * w^jj
+        shift_l = shift_c % gl.P
+        ff_prev = None
+        inv2 = (gl.P + 1) // 2
+        for l in range(lay.R):
+            half_l = m_c >> (l + 1)
+            d_l = sch.fdepth[l]
+            jj_l = (jj & (half_l - 1)).astype(np.int64)
+            u_l = np.array(
+                [int(qlayers[q][l]["u"]) % gl.P for q in range(Q)], np.uint64
+            )
+            v_l = np.array(
+                [int(qlayers[q][l]["v"]) % gl.P for q in range(Q)], np.uint64
+            )
+            tb_l = ((jj_l >> (d_l - 1)) & 1).astype(np.uint64)
+            # fold value f_l = (u+v)/2 + beta*(u-v)/(2x)
+            x_inv = np.array(
+                [gl.h_inv(int(x)) for x in x_l], dtype=np.uint64
+            )
+            even = mm(am(u_l, v_l), np.uint64(inv2))
+            odd = mm(mm(mm(sm(u_l, v_l), np.uint64(inv2)), x_inv),
+                     np.uint64(betas[l] % gl.P))
+            f_l = am(even, odd)
+            y_l = mm(x_l, x_l)
+            tr[:, :, lay.fu[l]] = u_l[:, None]
+            tr[:, :, lay.fv[l]] = v_l[:, None]
+            tr[:, :, lay.fx[l]] = x_l[:, None]
+            tr[:, :, lay.fy[l]] = y_l[:, None]
+            tr[:, :, lay.ff[l]] = f_l[:, None]
+            tr[:, :, lay.ftb[l]] = tb_l[:, None]
+            tr[:, :, lay.fjx[l]] = jj_l.astype(np.uint64)[:, None]
+            # Merkle path slots (identical machinery to the trace paths)
+            base_slot = sch.fleaf_slots[l]
+            st0 = np.zeros((Q, W), dtype=np.uint64)
+            st0[:, 0], st0[:, 1] = u_l, v_l
+            st0[:, RATE] = 2
+            b0 = base_slot * SLOT
+            tr[:, b0 : b0 + SLOT, lay.iacc] = 0
+            dig = fill_perm(base_slot, st0)
+            run_idx = np.zeros(Q, dtype=np.int64)
+            for k in range(d_l):
+                slot = base_slot + 1 + k
+                load_row = slot * SLOT - 1
+                bit = (jj_l >> k) & 1
+                sib = np.array(
+                    [
+                        [int(x) % gl.P for x in qlayers[q][l]["path"][k]]
+                        for q in range(Q)
+                    ],
+                    dtype=np.uint64,
+                )
+                tr[:, load_row, lay.bit] = bit.astype(np.uint64)
+                for j in range(4):
+                    tr[:, load_row, lay.sib[j]] = sib[:, j]
+                run_idx = run_idx + (bit.astype(np.int64) << k)
+                st0 = np.zeros((Q, W), dtype=np.uint64)
+                for j in range(4):
+                    st0[:, j] = np.where(bit == 1, sib[:, j], dig[:, j])
+                    st0[:, 4 + j] = np.where(bit == 1, dig[:, j], sib[:, j])
+                b = slot * SLOT
+                tr[:, b : b + SLOT, lay.iacc] = run_idx.astype(np.uint64)[:, None]
+                dig = fill_perm(slot, st0)
+            # next layer's x: (-1)^tb * x^2
+            x_l = np.where(tb_l == 1, sm(np.zeros_like(y_l), y_l), y_l)
+            ff_prev = f_l
+        x_term = mm(
+            tr[:, 0, lay.fx[lay.R - 1]], tr[:, 0, lay.fx[lay.R - 1]]
+        )  # = fy[R-1]
+        # iacc holds the LAST fold path's index to period end (overrides
+        # the zero-layer fill below)
+        last_jj = tr[:, 0, lay.fjx[lay.R - 1]]
+        ff_last = ff_prev
+
     # --- idx chain slot (sequential across queries) ----------------------------
     chain_prev = np.zeros((Q, 4), dtype=np.uint64)
     chain = [0, 0, 0, 0]
@@ -914,13 +1237,21 @@ def build_verifier_trace(child_proof: dict, q_c: int):
         tr[:, : cx + 1, lay.chain[j]] = chain_prev[:, j : j + 1]
         tr[:, cx + 1 :, lay.chain[j]] = chain_out[:, j : j + 1]
 
-    # --- coefficient stream: sponge + dual Horner -------------------------------
+    # iacc hold fix for fold layers (see fold block above)
+    if lay.R:
+        tr[:, sch.idx_slot * SLOT :, lay.iacc] = last_jj[:, None]
+
+    # --- coefficient stream: sponge + Horner ------------------------------------
+    # zero-layer children: DUAL Horner at (x, -x) against the composition;
+    # fold-layer children: ONE Horner at the terminal point x_term =
+    # fy[R-1], checked against the last fold value
     hu = np.zeros(Q, dtype=np.uint64)
     hv = np.zeros(Q, dtype=np.uint64)
+    arg_u = x_term if lay.R else x_u
     neg_x = sm(np.zeros_like(x_u), x_u)
     st = np.zeros((Q, W), dtype=np.uint64)
-    st[:, RATE] = n_c
-    hsteps = min(RATE, n_c)
+    st[:, RATE] = sch.n_stream
+    hsteps = min(RATE, sch.n_stream)
     for b_i in range(sch.n_blocks):
         slot = sch.stream0_slot + b_i
         b = slot * SLOT
@@ -936,7 +1267,7 @@ def build_verifier_trace(child_proof: dict, q_c: int):
         for r in range(hsteps):
             tr[:, b + r, lay.hu] = hu
             tr[:, b + r, lay.hv] = hv
-            hu = am(mm(hu, x_u), np.uint64(block[r]))
+            hu = am(mm(hu, arg_u), np.uint64(block[r]))
             hv = am(mm(hv, neg_x), np.uint64(block[r]))
         # rows hsteps..31 hold the post-step values
         tr[:, b + hsteps : b + SLOT, lay.hu] = hu[:, None]
@@ -999,7 +1330,7 @@ def build_verifier_trace(child_proof: dict, q_c: int):
     tr[:, :, lay.cb] = cb[:, None]
 
     trace = gl.from_int(tr.reshape(Q * L, C))
-    publics, bnds = _instance(header, alphas, indices)
+    publics, bnds = _instance(header, alphas, betas, indices)
     return air, trace, publics, bnds
 
 
@@ -1025,6 +1356,7 @@ def verify_attestation(
     att: dict,
     expected_queries: Optional[int] = None,
     expected_rows: Optional[int] = None,
+    expected_terminal: Optional[int] = None,
 ) -> List[int]:
     """Check an attestation WITHOUT the child proof's openings; returns the
     chunk digest.  Raises ValueError on any failure.
@@ -1045,13 +1377,23 @@ def verify_attestation(
         raise ValueError("unsupported child blowup")
     if int(header["public"]["gamma"]) != chunk_gamma():
         raise ValueError("gamma mismatch")
-    if len(header["final_coeffs"]) != n_c:
-        raise ValueError("terminal coefficient count mismatch")
+    terminal = header_terminal(header)
+    if expected_terminal is not None and terminal != expected_terminal:
+        raise ValueError(
+            f"attested terminal size {terminal} != protocol {expected_terminal}"
+        )
+    if expected_terminal is None and terminal != 4 * n_c:
+        # default protocol shape is the zero-layer child; fold-layer
+        # attestations must be explicitly pinned by the caller
+        raise ValueError("fold-layer attestation without pinned terminal")
+    R = n_fold_layers(n_c, terminal)
+    if len(header.get("roots", [])) != R:
+        raise ValueError("fold-layer root count mismatch")
     if int(header["shift"]) != gl.MULTIPLICATIVE_GENERATOR:
         raise ValueError("unsupported child coset shift")
-    alphas, indices = replay_child(header, q_c)
-    publics, bnds = _instance(header, alphas, indices)
-    air, _, _, _ = attestation_air(n_c, q_c)
+    alphas, betas, indices = replay_child(header, q_c)
+    publics, bnds = _instance(header, alphas, betas, indices)
+    air, _, _, _ = attestation_air(n_c, q_c, terminal)
     if not air_m.verify(air, att["air_proof"], publics, bnds):
         raise ValueError("verifier-AIR proof rejected")
     from ..protocol.prover_service import chunk_digest as _cd

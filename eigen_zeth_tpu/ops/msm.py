@@ -429,9 +429,15 @@ def g1_window_sums_fast(
         mg = mag[start : start + window_group]
         sg = sign[start : start + window_group]
         g = mg.shape[0]
-        order = jnp.argsort(mg, axis=-1)
-        mag_s = jnp.take_along_axis(mg, order, axis=-1)
-        sign_s = jnp.take_along_axis(sg, order, axis=-1)
+        # ONE multi-operand sort carries sign + index along with the digit
+        # key: the round-2 argsort + two take_along_axis paid ~12 ns/row
+        # of per-element gather latency TWICE over (g, N) — measured
+        # ~125 ms of the 305 ms MSM at 2^18 (scripts/prof_msm2.py)
+        iota = jax.lax.broadcasted_iota(jnp.int32, mg.shape, 1)
+        mag_s, sign_s, order = jax.lax.sort(
+            (mg, sg.astype(jnp.uint32), iota), dimension=-1, num_keys=1
+        )
+        sign_s = sign_s.astype(bool)
         rows_s = jnp.take(pts_rows, order, axis=0)  # (g, N, 2L)
 
         first = jnp.ones((g, 1), dtype=bool)
@@ -489,10 +495,27 @@ def g1_window_sums_fast(
         # scatter-corrected a (g, n, 3L) row copy of the whole scanned
         # array — ~300 ms of pure HBM shuffling at 2^18; the profile in
         # scripts/prof_msm2.py showed the EC math itself is ~50 ms)
-        hist = jnp.zeros((g, B + 1), jnp.int32).at[
-            jnp.arange(g)[:, None], mag_s
-        ].add(1)  # (g, B+1)
-        pos = jnp.cumsum(hist, axis=1) - 1  # inclusive end of bucket b
+        # histogram via branchless binary search on the SORTED digits —
+        # the round-2 scatter-add (.at[g_idx, mag_s].add(1)) paid
+        # per-element scatter latency over (g, N): ~55 ms at 2^18;
+        # log2(N) gathers of (g, B+1) run in ~23 ms (and vmapped
+        # jnp.searchsorted lowers worse, 67 ms — scripts/prof_msm2.py)
+        ids = jnp.arange(B + 1, dtype=mag_s.dtype)[None, :]
+        g_i = jnp.arange(g)[:, None]
+
+        def _counts(le_ids):
+            """#elements per window with value <= le_ids (branchless)."""
+            pos_ = jnp.zeros((g, B + 1), jnp.int32)
+            for k in range(n.bit_length() - 1, -1, -1):
+                cand = pos_ + (1 << k)
+                v = mag_s[g_i, jnp.minimum(cand, n) - 1]
+                pos_ = jnp.where((cand <= n) & (v <= le_ids), cand, pos_)
+            return pos_
+
+        right = _counts(ids)
+        left = jnp.where(ids > 0, _counts(ids - 1), 0)
+        hist = right - left  # (g, B+1)
+        pos = right - 1  # inclusive end of bucket b
         present = hist > 0
         pos_c = jnp.maximum(pos, 0)
         end_lane = (pos_c // S_).astype(jnp.int32)  # (g, B+1)

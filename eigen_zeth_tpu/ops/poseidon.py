@@ -1,26 +1,40 @@
-"""Poseidon permutation over Goldilocks — the prover's transcript hash.
+"""Poseidon2 permutation over Goldilocks — the prover's transcript hash.
 
 Fills the Poseidon/Merkle role of the reference's external eigen-prover
 (SURVEY.md §2.9-bis; BASELINE config 2: Poseidon hash chain + Merkle commit
 over 2^16 leaves).  The reference repo publishes no Poseidon parameters —
-its proving service is external — so this framework pins its own,
-generated deterministically and documented here:
+its proving service is external — so this framework pins its own instance,
+generated deterministically and documented here.
 
+Why Poseidon2 (round 3): the round-2 instance used a dense Cauchy MDS —
+144 full-width field multiplies per round, ~340K uint32 ops per
+permutation, measured 0.84M perms/s on v5e and dominating the FRI/STARK
+commit runtime.  Poseidon2 (Grassi-Khovratovich-Schofnegger, 2023-style
+construction) replaces the linear layers with
+  * an EXTERNAL matrix M_E = circ(2·M4, M4, M4) built from the 4x4
+    integer matrix M4 = [[5,7,1,3],[4,6,1,1],[1,3,5,7],[1,1,4,6]] —
+    multiplication is ~44 field additions, zero multiplies;
+  * an INTERNAL matrix M_I = 1 (all-ones) + diag(mu_i): one lane sum
+    plus 12 constant multiplies per partial round;
+and applies M_E once more to the input (defence of the first rounds).
+Internal-round constants are added to lane 0 only.
+
+Parameters (128-bit target, standard for Goldilocks x^7):
   * width t = 12 (rate 8, capacity 4), S-box x^7,
-    R_F = 8 full rounds, R_P = 22 partial rounds
-    (the standard parameterization for Goldilocks at 128-bit security).
-  * Round constants: SHA-256("ezt-poseidon-gl12/rc/{round}/{lane}")
-    reduced mod p — nothing-up-my-sleeve, reproducible from this file.
-  * MDS matrix: the Cauchy matrix M[i][j] = 1/(x_i + y_j) with x_i = i,
-    y_j = t + j; provably MDS since all x_i and y_j are distinct and
-    x_i + y_j is never 0 mod p.
+    R_F = 8 full rounds (4 + 4), R_P = 22 internal rounds.
+  * Round constants: SHA-256("ezt-poseidon2-gl12/rc/{round}/{lane}")
+    reduced mod p (internal rounds: lane 0 only) — nothing-up-my-sleeve.
+  * Internal diagonal: mu_i = SHA-256("ezt-poseidon2-gl12/diag/{i}")
+    reduced mod p (full-width, matching the paper's random-diagonal
+    sampling; a zero/one value would be resampled — none occur).
 
 Two implementations kept bit-identical by tests:
-  * device: vectorized over a batch axis, state shape (..., 12) GF —
-    partial-round S-box touches lane 0 only, MDS as broadcasted mul +
-    log-depth tree sum (all uint32 VPU work, jit-safe).
-  * host: python bigints — used by the verifier and the Fiat-Shamir
-    transcript, and as the independent test reference.
+  * device: lane-major (12, N) row vectors inside a lax.scan over
+    rounds — M_E as unrolled adds, M_I as lane sum + constant muls, all
+    full-lane-width VPU work (the round-2 broadcast-MDS layout ran
+    minor-axis reductions at ~9% lane utilization).
+  * host: python bigints — the verifier, the Fiat-Shamir transcript, and
+    the independent test reference.
 """
 
 from __future__ import annotations
@@ -44,6 +58,15 @@ PARTIAL_ROUNDS = 22
 N_ROUNDS = FULL_ROUNDS + PARTIAL_ROUNDS
 ALPHA = 7
 
+# Poseidon2's 4x4 building block; circ(2*M4, M4, M4) is MDS-enough for the
+# external layer per the Poseidon2 construction
+M4 = (
+    (5, 7, 1, 3),
+    (4, 6, 1, 1),
+    (1, 3, 5, 7),
+    (1, 1, 4, 6),
+)
+
 
 def _sha_to_field(tag: str) -> int:
     """Map a domain-separation tag to a canonical field element.
@@ -53,20 +76,67 @@ def _sha_to_field(tag: str) -> int:
     return int.from_bytes(h, "big") % gl.P
 
 
+def _is_full_round(r: int) -> bool:
+    half = FULL_ROUNDS // 2
+    return r < half or r >= half + PARTIAL_ROUNDS
+
+
 @functools.lru_cache(maxsize=1)
 def round_constants() -> list[list[int]]:
-    return [
-        [_sha_to_field(f"ezt-poseidon-gl12/rc/{r}/{i}") for i in range(WIDTH)]
-        for r in range(N_ROUNDS)
-    ]
+    """Per-round additive constants; internal rounds use lane 0 only
+    (lanes 1..11 are zero there, so AIR selector patterns stay uniform)."""
+    out = []
+    for r in range(N_ROUNDS):
+        if _is_full_round(r):
+            out.append(
+                [_sha_to_field(f"ezt-poseidon2-gl12/rc/{r}/{i}") for i in range(WIDTH)]
+            )
+        else:
+            out.append(
+                [_sha_to_field(f"ezt-poseidon2-gl12/rc/{r}/0")] + [0] * (WIDTH - 1)
+            )
+    return out
 
 
 @functools.lru_cache(maxsize=1)
-def mds_matrix() -> list[list[int]]:
+def internal_diag() -> list[int]:
+    """mu_i of the internal matrix M_I = allones + diag(mu)."""
+    out = []
+    for i in range(WIDTH):
+        v = _sha_to_field(f"ezt-poseidon2-gl12/diag/{i}")
+        assert v not in (0,), "degenerate diagonal draw"
+        out.append(v)
+    return out
+
+
+@functools.lru_cache(maxsize=1)
+def external_matrix() -> list[list[int]]:
+    """The dense 12x12 external matrix circ(2*M4, M4, M4) (for the AIR's
+    matvec constraint; the device/host perms use the addition chain)."""
+    m = [[0] * WIDTH for _ in range(WIDTH)]
+    for bi in range(3):
+        for bj in range(3):
+            mult = 2 if bi == bj else 1
+            for i in range(4):
+                for j in range(4):
+                    m[4 * bi + i][4 * bj + j] = mult * M4[i][j]
+    return m
+
+
+@functools.lru_cache(maxsize=1)
+def internal_matrix() -> list[list[int]]:
+    """Dense M_I = allones + diag(mu) (for the AIR's matvec constraint)."""
+    mu = internal_diag()
     return [
-        [gl.h_inv((i + WIDTH + j) % gl.P) for j in range(WIDTH)]
+        [(1 + mu[i]) % gl.P if i == j else 1 for j in range(WIDTH)]
         for i in range(WIDTH)
     ]
+
+
+# backwards-compatible name: the AIR historically called this mds_matrix;
+# it now refers to the external (full-round) matrix
+def mds_matrix() -> list[list[int]]:
+    return external_matrix()
 
 
 # ---------------------------------------------------------------------------
@@ -77,19 +147,47 @@ def _sbox_host(x: int) -> int:
     return pow(x, ALPHA, gl.P)
 
 
+def _m4_block_host(x: list[int]) -> list[int]:
+    """M4 · x via the Poseidon2 addition chain (values mod p)."""
+    t0 = (x[0] + x[1]) % gl.P
+    t1 = (x[2] + x[3]) % gl.P
+    t2 = (2 * x[1] + t1) % gl.P
+    t3 = (2 * x[3] + t0) % gl.P
+    t4 = (4 * t1 + t3) % gl.P
+    t5 = (4 * t0 + t2) % gl.P
+    t6 = (t3 + t5) % gl.P
+    t7 = (t2 + t4) % gl.P
+    return [t6, t5, t7, t4]
+
+
+def _external_host(s: list[int]) -> list[int]:
+    z = [_m4_block_host(s[4 * b : 4 * b + 4]) for b in range(3)]
+    tot = [(z[0][i] + z[1][i] + z[2][i]) % gl.P for i in range(4)]
+    out = []
+    for b in range(3):
+        out += [(z[b][i] + tot[i]) % gl.P for i in range(4)]
+    return out
+
+
+def _internal_host(s: list[int]) -> list[int]:
+    mu = internal_diag()
+    tot = sum(s) % gl.P
+    return [(tot + mu[i] * s[i]) % gl.P for i in range(WIDTH)]
+
+
 def perm_host(state: list[int]) -> list[int]:
     assert len(state) == WIDTH
     rc = round_constants()
-    mds = mds_matrix()
     s = [x % gl.P for x in state]
-    half = FULL_ROUNDS // 2
+    s = _external_host(s)  # initial linear layer
     for r in range(N_ROUNDS):
-        s = [(x + c) % gl.P for x, c in zip(s, rc[r])]
-        if half <= r < half + PARTIAL_ROUNDS:
-            s[0] = _sbox_host(s[0])
+        if _is_full_round(r):
+            s = [_sbox_host((x + c) % gl.P) for x, c in zip(s, rc[r])]
+            s = _external_host(s)
         else:
-            s = [_sbox_host(x) for x in s]
-        s = [sum(mds[i][j] * s[j] for j in range(WIDTH)) % gl.P for i in range(WIDTH)]
+            s = list(s)
+            s[0] = _sbox_host((s[0] + rc[r][0]) % gl.P)
+            s = _internal_host(s)
     return s
 
 
@@ -131,15 +229,6 @@ def _sum_last_axis(x: GF) -> GF:
     return GF(x.lo[..., 0], x.hi[..., 0])
 
 
-@functools.lru_cache(maxsize=1)
-def _device_constants():
-    # numpy planes: cached jnp arrays created inside a jit trace would
-    # leak tracers into later traces
-    rc = gl.from_int_np(np.array(round_constants(), dtype=np.uint64))  # (30, 12)
-    mds = gl.from_int_np(np.array(mds_matrix(), dtype=np.uint64))  # (12, 12)
-    return rc, mds
-
-
 def _sbox(x: GF) -> GF:
     x2 = gl.square(x)
     x4 = gl.square(x2)
@@ -147,42 +236,103 @@ def _sbox(x: GF) -> GF:
     return gl.mul(x6, x)
 
 
+def _dbl(x: GF) -> GF:
+    return gl.add(x, x)
+
+
+def _m4_block(rows: list[GF]) -> list[GF]:
+    """M4 over 4 row vectors (each (..., n)) — the addition chain."""
+    x0, x1, x2, x3 = rows
+    t0 = gl.add(x0, x1)
+    t1 = gl.add(x2, x3)
+    t2 = gl.add(_dbl(x1), t1)
+    t3 = gl.add(_dbl(x3), t0)
+    t4 = gl.add(_dbl(_dbl(t1)), t3)
+    t5 = gl.add(_dbl(_dbl(t0)), t2)
+    t6 = gl.add(t3, t5)
+    t7 = gl.add(t2, t4)
+    return [t6, t5, t7, t4]
+
+
+def _external_rows(rows: list[GF]) -> list[GF]:
+    z = [_m4_block(rows[4 * b : 4 * b + 4]) for b in range(3)]
+    tot = [gl.add(gl.add(z[0][i], z[1][i]), z[2][i]) for i in range(4)]
+    out = []
+    for b in range(3):
+        out += [gl.add(z[b][i], tot[i]) for i in range(4)]
+    return out
+
+
+def _internal_rows(rows: list[GF]) -> list[GF]:
+    mu = internal_diag()
+    tot = rows[0]
+    for r in rows[1:]:
+        tot = gl.add(tot, r)
+    return [gl.add(tot, gl.mul_scalar(rows[i], mu[i])) for i in range(WIDTH)]
+
+
+def _rows_of(state: GF) -> list[GF]:
+    return [GF(state.lo[i], state.hi[i]) for i in range(WIDTH)]
+
+
+def _stack_rows(rows: list[GF]) -> GF:
+    return gl.stack(rows, axis=0)
+
+
 def perm(state: GF) -> GF:
-    """Poseidon permutation; state shape (..., 12), vectorized over batch.
+    """Poseidon2 permutation; state shape (..., 12), vectorized over batch.
 
-    One lax.scan over the 30 rounds (round constants + full/partial flag
-    scanned in): the traced graph is ONE round body, not 30 unrolled
-    rounds — the unrolled form made Merkle-commit graphs take minutes of
-    XLA compile once leaves grew to 100+ columns (14 chained perms)."""
+    Internally lane-major: the state becomes 12 row vectors over the
+    flattened batch so every field op runs at full VPU lane width.  The
+    full-round block and the internal-round block are each ONE lax.scan
+    (constants scanned in), keeping the traced graph small.  Bit-identical
+    to perm_host (tested)."""
     assert state.lo.shape[-1] == WIDTH
-    rc, mds = _device_constants()
+    batch = state.lo.shape[:-1]
+    n = 1
+    for d in batch:
+        n *= d
+    x = gl.transpose(gl.reshape(state, (max(n, 1), WIDTH)))  # (12, n)
+    rc = round_constants()
     half = FULL_ROUNDS // 2
-    is_full = jnp.asarray(
-        np.array(
-            [not (half <= r < half + PARTIAL_ROUNDS) for r in range(N_ROUNDS)]
-        )
+
+    rows = _external_rows(_rows_of(x))  # initial linear layer
+
+    def full_body(st: GF, c):
+        c_lo, c_hi = c
+        rows = _rows_of(st)
+        rows = [
+            _sbox(gl.add(r, GF(jnp.broadcast_to(c_lo[i], r.lo.shape),
+                               jnp.broadcast_to(c_hi[i], r.hi.shape))))
+            for i, r in enumerate(rows)
+        ]
+        return _stack_rows(_external_rows(rows)), None
+
+    def partial_body(st: GF, c):
+        c_lo, c_hi = c
+        rows = _rows_of(st)
+        r0 = gl.add(rows[0], GF(jnp.broadcast_to(c_lo, rows[0].lo.shape),
+                                jnp.broadcast_to(c_hi, rows[0].hi.shape)))
+        rows[0] = _sbox(r0)
+        return _stack_rows(_internal_rows(rows)), None
+
+    def rc_arr(rounds, lane0_only=False):
+        if lane0_only:
+            vals = np.array([rc[r][0] for r in rounds], dtype=np.uint64)
+        else:
+            vals = np.array([rc[r] for r in rounds], dtype=np.uint64)
+        g = gl.from_int_np(vals)
+        return jnp.asarray(g.lo), jnp.asarray(g.hi)
+
+    st = _stack_rows(rows)
+    st, _ = jax.lax.scan(full_body, st, rc_arr(range(half)))
+    st, _ = jax.lax.scan(
+        partial_body, st, rc_arr(range(half, half + PARTIAL_ROUNDS), True)
     )
-
-    def body(st: GF, inp):
-        c, full_r = inp
-        st = gl.add(st, GF(jnp.broadcast_to(c.lo, st.lo.shape),
-                           jnp.broadcast_to(c.hi, st.hi.shape)))
-        sb_all = _sbox(st)
-        # partial rounds sbox lane 0 only: select per round
-        lane_mask = jnp.arange(WIDTH) == 0
-        keep = jnp.logical_or(full_r, lane_mask)
-        sb = gl.select(keep, sb_all, st)
-        m2 = GF(sb.lo[..., None, :], sb.hi[..., None, :])
-        prod = gl.mul(
-            GF(jnp.broadcast_to(m2.lo, m2.lo.shape[:-2] + (WIDTH, WIDTH)),
-               jnp.broadcast_to(m2.hi, m2.hi.shape[:-2] + (WIDTH, WIDTH))),
-            GF(jnp.broadcast_to(mds.lo, m2.lo.shape[:-2] + (WIDTH, WIDTH)),
-               jnp.broadcast_to(mds.hi, m2.hi.shape[:-2] + (WIDTH, WIDTH))),
-        )
-        return _sum_last_axis(prod), None
-
-    state, _ = jax.lax.scan(body, state, (GF(rc.lo, rc.hi), is_full))
-    return state
+    st, _ = jax.lax.scan(
+        full_body, st, rc_arr(range(half + PARTIAL_ROUNDS, N_ROUNDS))
+    )
+    return gl.reshape(gl.transpose(st), batch + (WIDTH,))
 
 
 def hash_elements(elements: GF) -> GF:

@@ -64,8 +64,11 @@ from .messages import (
     make_task_id,
 )
 
-CHUNK_FIELD_ELEMS = 120  # data elements per chunk (< one trace of 128)
-CHUNK_TRACE_ROWS = 128  # uniform chunk trace size (recursion circuit shape)
+# Production chunk scale (VERDICT r2 item 4: round-2 pinned chunks to 128
+# rows because recursion required zero-layer FRI; the verifier AIR now
+# checks fold layers in-circuit, so chunks are real-size)
+CHUNK_FIELD_ELEMS = 4094  # data elements per chunk (< one trace of 4096)
+CHUNK_TRACE_ROWS = 4096  # uniform chunk trace size (recursion circuit shape)
 
 
 @dataclass
@@ -175,31 +178,33 @@ class BatchProver:
     ):
         self.executor = executor or SyntheticExecutor()
         if recursion is None:
-            # auto: recursive aggregation whenever the chunk params are
-            # zero-layer compatible (always true for the defaults);
-            # explicitly-passed non-zero-layer params fall back to the
-            # digest-attestation aggregation
+            # auto: recursive aggregation whenever the chunk params fit
+            # the verifier AIR's shape requirements — blowup 4, a
+            # power-of-two child query count (the attestation trace is
+            # q_c periods and the AIR needs a power-of-two length), and
+            # >= 8 trace rows.  Fold-layer FRI (terminal < 4·n_rows) is
+            # verified IN-CIRCUIT since round 3 — production chunks are
+            # real-size with a 64-terminal FRI.
             n_rows = chunk_trace_rows or CHUNK_TRACE_ROWS
+            nq = stark_params.num_queries if stark_params else 32
             recursion = stark_params is None or (
-                stark_params.terminal_size >= stark_params.blowup * n_rows
-                and stark_params.blowup == 4
+                stark_params.blowup == 4
                 and n_rows >= 8
+                and nq & (nq - 1) == 0
             )
         self.recursion = recursion
         self.agg_queries = agg_queries
         if recursion:
-            # recursion needs a uniform circuit shape and zero-layer FRI
-            # (terminal >= the chunk LDE domain) so the verifier AIR's
-            # program is fixed per (trace size, query count)
+            # recursion needs a uniform circuit shape so the verifier
+            # AIR's program is fixed per (trace size, terminal, queries)
             self.chunk_trace_rows = chunk_trace_rows or CHUNK_TRACE_ROWS
             self.stark_params = stark_params or stark.StarkParams(
-                blowup=4, num_queries=32,
-                terminal_size=4 * self.chunk_trace_rows,
+                blowup=4, num_queries=32, terminal_size=64,
             )
-            assert (
-                self.stark_params.terminal_size
-                >= self.stark_params.blowup * self.chunk_trace_rows
-            ), "recursion requires zero-layer FRI chunk params"
+            nq = self.stark_params.num_queries
+            assert nq & (nq - 1) == 0, (
+                "recursion requires a power-of-two chunk query count"
+            )
         else:
             self.chunk_trace_rows = chunk_trace_rows
             self.stark_params = stark_params or stark.StarkParams()
@@ -391,6 +396,9 @@ class BatchProver:
                 node,
                 expected_queries=self.stark_params.num_queries,
                 expected_rows=self.chunk_trace_rows,
+                expected_terminal=min(
+                    self.stark_params.terminal_size, 4 * self.chunk_trace_rows
+                ),
             )  # raises on failure
         if node.get("type") == "aggregated":
             d1 = self._validate_recursive(json.dumps(node["children"][0]))

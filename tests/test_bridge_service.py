@@ -97,7 +97,7 @@ def test_full_pipeline_settles_through_live_bridge():
     prover = BatchProver(
         executor=ChainExecutor(chain),
         stark_params=stark.StarkParams(blowup=4, num_queries=2, terminal_size=16),
-        use_jit=False, wrap="linear",
+        use_jit=False, wrap="linear", chunk_trace_rows=16, recursion=False,
     )
     bridge = BridgeService(verifying_key=prover.verifying_key).start()
     try:

@@ -37,7 +37,7 @@ def make_chain_with_tx(value="0x5"):
 def prove_block_1(seq):
     db = kv.MemDb()
     prover = BatchProver(
-        executor=ChainExecutor(seq), stark_params=FAST_STARK, use_jit=False, wrap="linear"
+        executor=ChainExecutor(seq), stark_params=FAST_STARK, use_jit=False, wrap="linear", chunk_trace_rows=16, recursion=False
     )
     pipeline = ProverPipeline(db, prover, chain_id=12345)
     return pipeline.execute(1)
@@ -58,7 +58,7 @@ def test_chain_executor_payload_is_real_txs():
 def test_gen_batch_chunks_reports_real_state_roots():
     seq = make_chain_with_tx()
     prover = BatchProver(
-        executor=ChainExecutor(seq), stark_params=FAST_STARK, use_jit=False, wrap="linear"
+        executor=ChainExecutor(seq), stark_params=FAST_STARK, use_jit=False, wrap="linear", chunk_trace_rows=16, recursion=False
     )
     res = prover.gen_batch_chunks("b1", [1], 12345, "evm")
     assert res.result_code == ProofResultCode.COMPLETED_OK
@@ -69,7 +69,7 @@ def test_gen_batch_chunks_reports_real_state_roots():
 def test_missing_block_is_completed_error():
     seq = Sequencer(chain_id=12345)
     prover = BatchProver(
-        executor=ChainExecutor(seq), stark_params=FAST_STARK, use_jit=False, wrap="linear"
+        executor=ChainExecutor(seq), stark_params=FAST_STARK, use_jit=False, wrap="linear", chunk_trace_rows=16, recursion=False
     )
     res = prover.gen_batch_chunks("b1", [7], 12345, "evm")
     assert res.result_code == ProofResultCode.COMPLETED_ERROR

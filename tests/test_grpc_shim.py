@@ -19,7 +19,7 @@ def test_prover_stream_full_flow():
     """Drive GetStatus -> GenBatchChunks -> GenChunkProof -> Aggregate ->
     Final over one bidirectional stream, exactly like the reference client
     (src/prover/provider.rs:276-540)."""
-    prover = BatchProver(stark_params=FAST_STARK, use_jit=False, wrap="linear")
+    prover = BatchProver(stark_params=FAST_STARK, use_jit=False, wrap="linear", chunk_trace_rows=16, recursion=False)
     server = ProverServiceServer(prover).start()
     client = ProverStreamClient(f"127.0.0.1:{server.port}")
     try:
@@ -89,7 +89,7 @@ def test_prover_stream_full_flow():
 
 
 def test_error_propagates_as_completed_error():
-    prover = BatchProver(stark_params=FAST_STARK, use_jit=False, wrap="linear")
+    prover = BatchProver(stark_params=FAST_STARK, use_jit=False, wrap="linear", chunk_trace_rows=16, recursion=False)
     server = ProverServiceServer(prover).start()
     client = ProverStreamClient(f"127.0.0.1:{server.port}")
     try:

@@ -12,7 +12,7 @@ FAST_STARK = stark.StarkParams(blowup=4, num_queries=2, terminal_size=16)
 
 
 def test_pipelined_prover_matches_serial_semantics():
-    prover = BatchProver(stark_params=FAST_STARK, use_jit=False, wrap="linear")
+    prover = BatchProver(stark_params=FAST_STARK, use_jit=False, wrap="linear", chunk_trace_rows=16, recursion=False)
     chunks = prover.gen_batch_chunks("b", list(range(21, 51)), 12345, "evm")
     assert chunks.chunk_count >= 2  # multiple chunks so the pipeline overlaps
 

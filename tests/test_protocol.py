@@ -25,7 +25,7 @@ FAST_STARK = stark.StarkParams(blowup=4, num_queries=2, terminal_size=16)
 
 
 def make_prover():
-    return BatchProver(stark_params=FAST_STARK, use_jit=False, wrap="linear")
+    return BatchProver(stark_params=FAST_STARK, use_jit=False, wrap="linear", chunk_trace_rows=16, recursion=False)
 
 
 # --- KV --------------------------------------------------------------------
@@ -209,7 +209,7 @@ def test_gen_chunk_proof_routes_through_batched_prover(monkeypatch):
         return [stark.prove_chunk(c, iv, params) for c, iv in zip(chunks, ivs)]
 
     monkeypatch.setattr(stark_batch, "prove_chunks", fake_prove_chunks)
-    prover = BatchProver(stark_params=FAST_STARK, use_jit=True, wrap="linear")
+    prover = BatchProver(stark_params=FAST_STARK, use_jit=True, wrap="linear", chunk_trace_rows=16, recursion=False)
     data = bytes(range(256)) * 4  # 147 elems -> 2 chunks at CHUNK_FIELD_ELEMS=120
     res = prover.gen_chunk_proof(
         batch_id="b1",

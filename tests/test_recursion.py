@@ -173,3 +173,63 @@ def test_attestation_query_count_is_pinned():
     }
     r = prover.gen_final_proof("b", _json.dumps(forged_agg), "BN128", "0xaa")
     assert r.result_code.name == "COMPLETED_ERROR"
+
+
+# ---------------------------------------------------------------------------
+# fold-layer recursion (VERDICT r2 item 4): children with REAL FRI layers
+
+
+# n_c=32 trace, m_c=128 LDE, terminal 32 -> R=2 fold layers in the AIR
+FOLD_PARAMS = stark.StarkParams(blowup=4, num_queries=2, terminal_size=32)
+FOLD_ROWS = 32
+
+
+@pytest.fixture(scope="module")
+def fold_child_and_attestation():
+    child = stark.prove_chunk(list(range(1, 30)), iv=11,
+                              params=FOLD_PARAMS, n_rows=FOLD_ROWS)
+    assert stark.verify_chunk(child, FOLD_PARAMS)
+    assert len(child["fri"]["roots"]) == 2  # real fold layers
+    att = recursion.attest_chunk(child, num_queries_agg=AGG_Q)
+    return child, att
+
+
+def test_fold_attestation_round_trip(fold_child_and_attestation):
+    child, att = fold_child_and_attestation
+    digest = recursion.verify_attestation(att, expected_terminal=32)
+    from eigen_zeth_tpu.protocol.prover_service import chunk_digest
+
+    assert digest == chunk_digest(child)
+
+
+def test_fold_attestation_requires_pinned_terminal(fold_child_and_attestation):
+    """A fold-layer attestation must be rejected unless the caller pins
+    the terminal size (shrunken terminals weaken the degree bound)."""
+    _, att = fold_child_and_attestation
+    with pytest.raises(ValueError):
+        recursion.verify_attestation(att)  # no expected_terminal
+    with pytest.raises(ValueError):
+        recursion.verify_attestation(att, expected_terminal=64)
+
+
+def test_fold_tampered_chunk_is_unattestable(fold_child_and_attestation):
+    """Corrupting a fold-layer opening (u value of layer 1) makes the
+    attestation unprovable — the fold/select/Merkle constraints fire."""
+    child, _ = fold_child_and_attestation
+    bad = json.loads(json.dumps(child))
+    lay = bad["fri"]["queries"][0]["layers"][1]
+    lay["u"] = str((int(lay["u"]) + 1) % gl.P)
+    with pytest.raises(AssertionError):
+        recursion.attest_chunk(bad, num_queries_agg=AGG_Q)
+
+
+def test_fold_tampered_beta_rejected(fold_child_and_attestation):
+    """Mutating a fold-layer root in the header shifts the replayed betas
+    and indices; the attestation no longer verifies."""
+    _, att = fold_child_and_attestation
+    bad = json.loads(json.dumps(att))
+    bad["header"]["roots"][0][0] = str(
+        (int(bad["header"]["roots"][0][0]) + 1) % gl.P
+    )
+    with pytest.raises(ValueError):
+        recursion.verify_attestation(bad, expected_terminal=32)

@@ -107,7 +107,7 @@ def test_node_pipeline_end_to_end():
     db = kv.MemDb()
     chain = rpc.MockChain()
     prover = BatchProver(
-        executor=ChainExecutor(chain), stark_params=FAST_STARK, use_jit=False, wrap="linear"
+        executor=ChainExecutor(chain), stark_params=FAST_STARK, use_jit=False, wrap="linear", chunk_trace_rows=16, recursion=False
     )
     settlement = MockSettlement(verifying_key=prover.verifying_key)
     op = Operator(

@@ -30,7 +30,12 @@ import time
 # persistent compile cache: TPU compiles of the big NTT/MSM graphs take
 # minutes; cached executables make repeated bench/driver runs fast
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+# threshold MUST be 0: under the axon remote-compile plugin jax measures
+# ~zero LOCAL compile time even for minutes-long remote compiles, so any
+# positive min-compile-time filter silently suppresses every cache write
+# (observed round 3: 98-388 s compiles, zero entries)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import numpy as np
 
@@ -397,13 +402,17 @@ def main() -> None:
     immediately after the NTT section and is RE-printed, enriched, after
     every further section — the last line is the most complete, and a
     driver kill mid-section still leaves a parseable result.  A global
-    deadline (EZT_BENCH_DEADLINE, default 840 s — under the driver's
-    observed >= 900 s window) skips sections that no longer fit so the
-    process itself always exits 0."""
+    deadline (EZT_BENCH_DEADLINE, default 1500 s — the round-3 driver run
+    survived past 1650 s) skips sections that no longer fit so the
+    process itself always exits 0.  The deadline clock starts AFTER the
+    headline NTT section: TPU chip-claim latency under the tunnel is
+    wildly variable (round 3 paid 1642 s on the first compile; the same
+    program compiled in 15-99 s on other runs), and charging it against
+    the later sections is what voided BENCH_r03's MSM/FRI/STARK fields."""
     full = "--full" in sys.argv
-    t_start = time.time()
-    deadline = float(os.environ.get("EZT_BENCH_DEADLINE", "840"))
+    deadline = float(os.environ.get("EZT_BENCH_DEADLINE", "1500"))
     elems_per_s = bench_ntt()
+    t_start = time.time()  # post-headline: see docstring
     extra = {}
 
     def emit():

@@ -83,6 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
                      help="gRPC address of an external prover process "
                           "(the reference's PROVER_ADDR topology); "
                           "default: in-process TPU prover")
+    run.add_argument("--final-wrap", choices=["stark", "mimc", "linear"],
+                     default="stark",
+                     help="final Groth16 circuit: 'stark' verifies the "
+                          "wrap-profile attestation STARKs IN-CIRCUIT "
+                          "(sound; FinalProof alone implies batch "
+                          "validity); 'mimc'/'linear' wrap only the "
+                          "aggregated digest (fast dev profiles)")
 
     prover = sub.add_parser(
         "prover", help="standalone gRPC prover server (the prover-network side)"
@@ -96,6 +103,9 @@ def build_parser() -> argparse.ArgumentParser:
                         default="production",
                         help="test = tiny STARK params for CI/CPU")
     prover.add_argument("--no-jit", action="store_true")
+    prover.add_argument("--final-wrap", choices=["stark", "mimc", "linear"],
+                        default="stark",
+                        help="final Groth16 circuit (see `run --final-wrap`)")
 
     init = sub.add_parser("init", help="initialize the L2 genesis / rollup DB")
     init.add_argument("--database", choices=["memory", "file", "native"], default="file")
@@ -188,7 +198,10 @@ def cmd_run(args, wait: bool = True) -> int:
         else:
             from .protocol.prover_service import ChainExecutor
 
-            prover = BatchProver(executor=ChainExecutor(sequencer))
+            prover = BatchProver(
+                executor=ChainExecutor(sequencer),
+                wrap=getattr(args, "final_wrap", "stark"),
+            )
         operator = Operator(
             db=db,
             chain=sequencer,
@@ -243,7 +256,7 @@ def cmd_prover(args, wait: bool = True):
     # test profile implies eager: XLA CPU compiles of the EC graphs are
     # prohibitively slow for CI-scale proving
     use_jit = not (args.no_jit or test_profile)
-    wrap = "linear" if test_profile else "mimc"
+    wrap = "linear" if test_profile else getattr(args, "final_wrap", "stark")
     prover = BatchProver(
         executor=executor, stark_params=params, use_jit=use_jit, wrap=wrap,
         chunk_trace_rows=16 if test_profile else None,

@@ -174,7 +174,8 @@ class BatchProver:
         recursion: Optional[bool] = None,
         chunk_trace_rows: Optional[int] = None,
         agg_queries: int = 30,  # query count of the aggregation STARK itself
-        wrap: str = "mimc",  # final-wrap circuit: "mimc" | "linear"
+        wrap: str = "mimc",  # final-wrap circuit: "stark" | "mimc" | "linear"
+        wrap_queries: int = 2,  # FRI query count of the wrap-profile STARK
     ):
         self.executor = executor or SyntheticExecutor()
         if recursion is None:
@@ -216,12 +217,18 @@ class BatchProver:
         self.use_jit = use_jit
         self.mesh = mesh
         self._groth16_seed = groth16_seed
-        # "mimc": the production wrap — the digest is MiMC-hashed INSIDE
-        # the R1CS (~1.3k constraints), so the prove MSMs run on the TPU
-        # Pippenger.  "linear": the 2-constraint packing wrap (CPU test
-        # profiles; ~20 s of CRS generation saved per process).
+        # "stark": the SOUND wrap (VERDICT r2 item 5) — the Groth16
+        # circuit verifies the wrap-profile attestation STARKs themselves
+        # (models/wrap_circuit.py), so FinalProof{proof, public_input}
+        # alone implies chunk validity; no host validation sits in the
+        # verification path.  "mimc": the fast digest wrap — MiMC-hashes
+        # the aggregated digest in-circuit (~1.3k constraints); soundness
+        # rests on the aggregator's own checks.  "linear": the
+        # 2-constraint packing wrap (CPU test profiles).
         self.wrap = wrap
+        self.wrap_queries = wrap_queries
         self._crs = None  # lazy: (r1cs, pk, vk), module-cached
+        self._stark_crs = {}  # per final-circuit shape: (pk, vk)
 
     def _groth16_crs(self):
         if self._crs is None:
@@ -343,9 +350,16 @@ class BatchProver:
                 if self.recursion and node.get("type") == "chunk":
                     from ..models import recursion as rec
 
-                    att = rec.attest_chunk(
-                        node["stark"], num_queries_agg=self.agg_queries
-                    )
+                    if self.wrap == "stark":
+                        # wrap-profile attestation: Fr-committed, so the
+                        # final Groth16 circuit verifies it in-circuit
+                        att = rec.attest_chunk_wrap(
+                            node["stark"], num_queries_wrap=self.wrap_queries
+                        )
+                    else:
+                        att = rec.attest_chunk(
+                            node["stark"], num_queries_agg=self.agg_queries
+                        )
                     kids.append(att)
                 else:
                     self._validate_recursive(raw)
@@ -374,7 +388,7 @@ class BatchProver:
     def _digest_of(node: dict) -> List[int]:
         if node.get("type") == "chunk":
             return chunk_digest(node["stark"])
-        if node.get("type") == "chunk-attested":
+        if node.get("type") in ("chunk-attested", "chunk-attested-wrap"):
             return chunk_digest(node["header"])
         return [int(x) for x in node["digest"]]
 
@@ -387,12 +401,17 @@ class BatchProver:
             if not stark.verify_chunk(node["stark"], self.stark_params):
                 raise ValueError("invalid chunk proof")
             return chunk_digest(node["stark"])
-        if node.get("type") == "chunk-attested":
+        if node.get("type") in ("chunk-attested", "chunk-attested-wrap"):
             from ..models import recursion as rec
 
             # pin the attested query count / trace size to the protocol
             # params: they are attacker-influenced attestation fields
-            return rec.verify_attestation(
+            check = (
+                rec.verify_attestation_wrap
+                if node["type"] == "chunk-attested-wrap"
+                else rec.verify_attestation
+            )
+            return check(
                 node,
                 expected_queries=self.stark_params.num_queries,
                 expected_rows=self.chunk_trace_rows,
@@ -427,6 +446,10 @@ class BatchProver:
                     result_code=ProofResultCode.COMPLETED_OK,
                     final_proof=final,
                 )
+            if self.wrap == "stark":
+                return self._gen_final_proof_stark(
+                    batch_id, recursive_proof, aggregator_addr
+                )
             digest = self._validate_recursive(recursive_proof)
             # bind the aggregator address into the wrapped digest
             addr_elems = bytes_to_field_elements(aggregator_addr.encode())
@@ -454,8 +477,84 @@ class BatchProver:
                 error_message=str(e),
             )
 
+    def _gen_final_proof_stark(
+        self, batch_id: str, recursive_proof: str, aggregator_addr: str
+    ) -> GenFinalProofResult:
+        """The SOUND final wrap: the Groth16 circuit verifies every child
+        wrap-profile attestation STARK in-circuit and binds their
+        statement hashes (+ aggregator address) into the single public
+        input — `FinalProof{proof, public_input}` alone implies chunk
+        validity; NO host-side `_validate_recursive` runs in the
+        verification path (VERDICT r2 item 5; the reference's on-chain
+        verifier consumes only the wrapped proof,
+        src/settlement/ethereum/mod.rs:338-394)."""
+        from ..models import recursion as rec
+        from ..models import wrap_circuit
+
+        node = json.loads(recursive_proof)
+        pinned_terminal = min(
+            self.stark_params.terminal_size, 4 * self.chunk_trace_rows
+        )
+
+        def leaves(n: dict) -> list:
+            """Flatten the (possibly multi-level) aggregation tree to its
+            wrap-profile attestation leaves."""
+            if n.get("type") == "chunk-attested-wrap":
+                return [n]
+            if n.get("type") == "aggregated":
+                out = []
+                for c in n["children"]:
+                    out += leaves(c)
+                return out
+            raise ValueError(
+                "stark wrap requires wrap-profile attestations "
+                f"(got {n.get('type')!r})"
+            )
+
+        if node.get("type") != "aggregated":
+            raise ValueError("stark wrap expects an aggregated proof")
+        entries = []
+        for child in leaves(node):
+            air, publics, bnds = rec.wrap_attestation_instance(
+                child,
+                expected_queries=self.stark_params.num_queries,
+                expected_rows=self.chunk_trace_rows,
+                expected_terminal=pinned_terminal,
+            )
+            entries.append((air, child["wrap_proof"], publics, bnds))
+        # building the circuit IS the aggregation check: an invalid wrap
+        # attestation yields unsatisfiable wires and raises here — no
+        # Groth16 proof can exist for it
+        r1cs, witness, pub = wrap_circuit.build_final_circuit(
+            entries, aggregator_addr
+        )
+        key = (
+            tuple(
+                wrap_circuit.statement_tag(
+                    air, int(proof["shift"]), int(proof["num_queries"]), bnds
+                )
+                for air, proof, _, bnds in entries
+            ),
+            aggregator_addr,
+        )
+        if key not in self._stark_crs:
+            self._stark_crs[key] = groth16.setup(r1cs, seed=self._groth16_seed)
+        pk, vk = self._stark_crs[key]
+        proof = groth16.prove(pk, r1cs, witness, use_jit=self.use_jit)
+        assert groth16.verify(vk, proof, [pub]), "self-check failed"
+        final = FinalProof(
+            proof=json.dumps(proof), public_input=json.dumps([str(pub)])
+        )
+        return GenFinalProofResult(
+            batch_id=batch_id,
+            result_code=ProofResultCode.COMPLETED_OK,
+            final_proof=final,
+        )
+
     @property
     def verifying_key(self) -> groth16.VerifyingKey:
+        if self.wrap == "stark" and self._stark_crs:
+            return next(iter(self._stark_crs.values()))[1]
         return self._groth16_crs()[2]
 
 

@@ -33,7 +33,7 @@ if os.environ.get(_SENTINEL) != "1":
     # Persistent compilation cache: EC/shard_map graphs are expensive for
     # XLA CPU; repeated suite runs hit the cache instead.
     env.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
-    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
     # subprocess (not execve): the sandbox wrapper loses exec'd-process output.
     rc = subprocess.call(
         [sys.executable, "-m", "pytest"] + sys.argv[1:], env=env

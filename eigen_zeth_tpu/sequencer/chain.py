@@ -263,7 +263,7 @@ class Sequencer:
             "mixHash": "0x" + "00" * 32,
             "nonce": "0x0000000000000000",
             "gasLimit": hex(block_gas_limit),
-            "baseFeePerGas": "0x0",
+            "baseFeePerGas": hex(self.ledger.ctx.basefee),
             "timestamp": "0x0",
             "gasUsed": "0x0",
             "withdrawalsRoot": "0x" + mpt.EMPTY_ROOT.hex(),
@@ -466,6 +466,18 @@ class Sequencer:
             # header.seal_slow() (custom_reth/mod.rs:751-788)
             block["hash"] = header_m.block_hash(block)
             self._blocks.append(block)
+            # EIP-1559 base-fee update for the NEXT block: +-1/8 toward
+            # the half-gas-limit target (a zero genesis base fee stays
+            # zero — the dev chain's default; a funded fee market starts
+            # from a nonzero genesis baseFeePerGas)
+            base = self.ledger.ctx.basefee
+            if base:
+                target = self.block_gas_limit // 2
+                if gas_used > target:
+                    base += max(1, base * (gas_used - target) // target // 8)
+                elif gas_used < target:
+                    base -= base * (target - gas_used) // target // 8
+                self.ledger.ctx.basefee = max(base, 0)
             from ..utils.profiling import METRICS
 
             METRICS.inc("blocks_built")

@@ -26,7 +26,7 @@ bench-full: ## Benchmarks + per-kernel speed-of-light roofline reports
 	@$(PY) bench.py --full
 
 bench-warm: ## Pre-populate the XLA compile cache (no deadline; run once)
-	@EZT_BENCH_DEADLINE=100000 $(PY) bench.py
+	@EZT_BENCH_DEADLINE=100000 EZT_BENCH_SECTION_BUDGET=100000 $(PY) bench.py
 
 install: ## Install the package into the active environment
 	@$(PY) -m pip install -e . --no-deps

@@ -436,6 +436,10 @@ def main() -> None:
     def soft(name, fn, fmt=lambda v: round(v), budget_s=420):
         import signal as _sig
 
+        # warm runs (make bench-warm) lift the per-section watchdog so a
+        # long cold compile still lands in the persistent cache instead of
+        # being SIGALRM'd out of it
+        budget_s = float(os.environ.get("EZT_BENCH_SECTION_BUDGET", budget_s))
         remaining = deadline - (time.time() - t_start)
         budget = int(min(budget_s, remaining))
         if budget < 45:

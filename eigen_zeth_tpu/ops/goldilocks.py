@@ -315,9 +315,14 @@ def h_mul(a: int, b: int) -> int:
 
 # --- vectorized numpy field mul (trace-safe twiddle/constant generation) ---
 
-np.seterr(over="ignore")  # uint64 wraparound is intentional in np_mulmod/np_addmod
+# uint64 wraparound is intentional in np_mulmod/np_addmod; np.seterr is
+# THREAD-LOCAL, so each helper scopes its own errstate (worker threads —
+# the settlement provers — would otherwise warn on every wrap)
+np.seterr(over="ignore")
 _M32 = np.uint64(0xFFFFFFFF)
 _U32 = np.uint64(32)
+def _over_ignore():
+    return np.errstate(over="ignore")
 
 
 def np_mulmod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -325,7 +330,14 @@ def np_mulmod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     schoolbook + the 2^64 ≡ 2^32−1, 2^96 ≡ −1 Goldilocks fold.  Pure
     numpy, so NTT-plan builders can call it inside a jit trace (device
     arrays would leak tracers into the lru-cached plans — the round-2
-    regression behind test_ntt_sharded_matches_single)."""
+    regression behind test_ntt_sharded_matches_single).
+
+    Thread-safe w.r.t. overflow warnings (scoped errstate)."""
+    with _over_ignore():
+        return _np_mulmod_impl(a, b)
+
+
+def _np_mulmod_impl(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     a = np.asarray(a, dtype=np.uint64)
     b = np.asarray(b, dtype=np.uint64)
     al, ah = a & _M32, a >> _U32
@@ -369,13 +381,14 @@ def powers_np(base: int, n: int) -> np.ndarray:
 
 def np_addmod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Elementwise (a+b) mod P on canonical uint64 numpy arrays."""
-    a = np.asarray(a, dtype=np.uint64)
-    b = np.asarray(b, dtype=np.uint64)
-    s = a + b  # may wrap: a,b < P < 2^64 so s mod 2^64 = s - 2^64·c
-    wrap = s < a
-    # 2^64 ≡ 2^32 − 1 (mod P)
-    s = np.where(wrap, s + _M32, s)
-    return np.where(s >= np.uint64(P), s - np.uint64(P), s)
+    with _over_ignore():
+        a = np.asarray(a, dtype=np.uint64)
+        b = np.asarray(b, dtype=np.uint64)
+        s = a + b  # may wrap: a,b < P < 2^64 so s mod 2^64 = s - 2^64·c
+        wrap = s < a
+        # 2^64 ≡ 2^32 − 1 (mod P)
+        s = np.where(wrap, s + _M32, s)
+        return np.where(s >= np.uint64(P), s - np.uint64(P), s)
 
 
 def np_submod(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -74,25 +74,74 @@ def make_plan(n: int, inverse: bool = False) -> NTTPlan:
     return NTTPlan(n=n, bitrev=_bit_reverse_indices(n), tw=tuple(tw), scale=scale)
 
 
+def _radix2_stage(x: GF, w: GF, s: int, n: int) -> GF:
+    """One DIT radix-2 butterfly stage (pairs at stride 2^s)."""
+    batch = x.lo.shape[:-1]
+    half = 1 << s
+    m = half * 2
+    v = gl.reshape(x, batch + (n // m, 2, half))
+    lo = GF(v.lo[..., 0, :], v.hi[..., 0, :])
+    hi = GF(v.lo[..., 1, :], v.hi[..., 1, :])
+    t = gl.mul(hi, GF(jnp.broadcast_to(w.lo, lo.lo.shape), jnp.broadcast_to(w.hi, lo.hi.shape)))
+    a = gl.add(lo, t)
+    b = gl.sub(lo, t)
+    x = GF(
+        jnp.concatenate([a.lo[..., None, :], b.lo[..., None, :]], axis=-2),
+        jnp.concatenate([a.hi[..., None, :], b.hi[..., None, :]], axis=-2),
+    )
+    return gl.reshape(x, batch + (n,))
+
+
 def _butterfly_stages(x: GF, tw: Tuple[GF, ...], n: int) -> GF:
     """Apply all log2(n) DIT butterfly stages along the last axis.
 
-    Input must already be in bit-reversed order."""
+    Input must already be in bit-reversed order.  Stages are fused in
+    PAIRS (radix-4): the mul count is identical to radix-2 (1 mul/elem
+    per pair of levels) but each fused stage is ONE read-modify-write
+    pass over the array instead of two — the NTT is HBM-bound on TPU, so
+    halving the passes is the whole win.  The per-level twiddle tables
+    already carry everything radix-4 needs: with m = 2^s,
+      w1  = tw[s]           (m,)   = w_{2m}^j
+      w2  = tw[s+1]         (2m,)  = w_{4m}^j; its upper half is
+            w_{4m}^{m+j} = w_4 · w_{4m}^j — the i·w2a factors."""
     batch = x.lo.shape[:-1]
-    for s, w in enumerate(tw):
-        half = 1 << s
-        m = half * 2
-        v = gl.reshape(x, batch + (n // m, 2, half))
-        lo = GF(v.lo[..., 0, :], v.hi[..., 0, :])
-        hi = GF(v.lo[..., 1, :], v.hi[..., 1, :])
-        t = gl.mul(hi, GF(jnp.broadcast_to(w.lo, lo.lo.shape), jnp.broadcast_to(w.hi, lo.hi.shape)))
-        a = gl.add(lo, t)
-        b = gl.sub(lo, t)
+    logn = len(tw)
+    s = 0
+    if logn & 1:  # odd number of levels: one radix-2 stage first
+        x = _radix2_stage(x, tw[0], 0, n)
+        s = 1
+    while s < logn:
+        m = 1 << s
+        w1, w2 = tw[s], tw[s + 1]
+        v = gl.reshape(x, batch + (n // (4 * m), 4, m))
+        a = GF(v.lo[..., 0, :], v.hi[..., 0, :])
+        b = GF(v.lo[..., 1, :], v.hi[..., 1, :])
+        c = GF(v.lo[..., 2, :], v.hi[..., 2, :])
+        d = GF(v.lo[..., 3, :], v.hi[..., 3, :])
+
+        def bc(w: GF, like: GF) -> GF:
+            return GF(
+                jnp.broadcast_to(w.lo, like.lo.shape),
+                jnp.broadcast_to(w.hi, like.hi.shape),
+            )
+
+        w2a = GF(w2.lo[:m], w2.hi[:m])
+        w2b = GF(w2.lo[m:], w2.hi[m:])  # = w_4 · w2a
+        tb = gl.mul(b, bc(w1, b))
+        td = gl.mul(d, bc(w1, d))
+        u0 = gl.add(a, tb)
+        u1 = gl.sub(a, tb)
+        v0 = gl.add(c, td)
+        v1 = gl.sub(c, td)
+        t0 = gl.mul(v0, bc(w2a, v0))
+        t1 = gl.mul(v1, bc(w2b, v1))
+        outs = (gl.add(u0, t0), gl.add(u1, t1), gl.sub(u0, t0), gl.sub(u1, t1))
         x = GF(
-            jnp.concatenate([a.lo[..., None, :], b.lo[..., None, :]], axis=-2),
-            jnp.concatenate([a.hi[..., None, :], b.hi[..., None, :]], axis=-2),
+            jnp.concatenate([p.lo[..., None, :] for p in outs], axis=-2),
+            jnp.concatenate([p.hi[..., None, :] for p in outs], axis=-2),
         )
         x = gl.reshape(x, batch + (n,))
+        s += 2
     return x
 
 

@@ -5,10 +5,17 @@ stdout: the headline JSON line
 printed immediately after the NTT section and RE-printed (enriched) after
 every further section — the LAST line is the most complete result, and a
 harness kill mid-section still leaves parseable output.  A global
-deadline (EZT_BENCH_DEADLINE, default 840 s) skips sections that no
-longer fit, so the process exits 0 inside the driver's window; `make
-bench-warm` pre-populates the XLA compile cache so a driver run spends
-its budget on measurements, not compiles.
+deadline (EZT_BENCH_DEADLINE, default 1500 s) skips sections that no
+longer fit, so the process exits 0 inside the driver's window.
+
+Every run compiles COLD: the axon TPU backend cannot persist compiled
+executables (jax's compilation cache reports "disabled/not initialized"
+for the plugin — probed round 4), so each section's budget must cover
+its own XLA compile.  That is why the proof-system sections use arity-8
+FRI reduction (6 committed trees at 2^22 instead of 16 — ~5x smaller
+fused program) and fri_fused.UNROLL_MIN is 64K: compile time is the
+scarce resource, not device time (the 2^22 fused FRI runs in ~1-2 s but
+compiled for 2888 s at arity 2).
 Baseline: BASELINE.json's north-star 2^24 NTT elements/s/chip (the
 reference publishes no numbers of its own — BASELINE.md).
 
@@ -80,9 +87,7 @@ def bench_ntt() -> float:
     # four-step (1024x1024) layout: stages slice lanes instead of the
     # concat-heavy flat radix-2 graph — ~6x faster on chip
     plan_f = nttm.make_four_step_plan(n, 1024)
-    plan_i = nttm.make_four_step_plan(n, 1024, inverse=True)
     fwd = jax.jit(lambda x: nttm.ntt_four_step(x, plan_f))
-    inv = jax.jit(lambda x: nttm.intt_four_step(x, plan_i))
     x = gl.random_gf((batch, n), rng)
 
     t0 = time.time()
@@ -90,9 +95,13 @@ def bench_ntt() -> float:
     jax.block_until_ready(y)
     log(f"ntt first call (compile+run): {time.time() - t0:.1f}s")
 
-    # correctness gate: round trip + direct bigint DFT spot check
-    back = inv(y)
-    assert np.array_equal(gl.to_int(back), gl.to_int(x)), "NTT round-trip mismatch"
+    # correctness gate ON THE MEASURED KERNEL'S OUTPUT: full host-numpy
+    # NTT of one batch row (vectorized bigint-free np_mulmod butterflies)
+    # + a direct bigint DFT spot check at size 64.  No inverse-transform
+    # compile: the axon backend compiles every program cold, and the old
+    # round-trip gate's intt compile cost as much as the bench itself.
+    want_row = gl.np_ntt(gl.to_int(x)[0])
+    assert np.array_equal(gl.to_int(y)[0], want_row), "NTT mismatch vs host"
     small = 64
     want = gl.to_int(x)[0, :small]
     sy = gl.to_int(jax.jit(lambda v: nttm.ntt(v, nttm.make_plan(small)))(gl.from_int(want)))
@@ -100,7 +109,7 @@ def bench_ntt() -> float:
     for k in [0, 1, small - 1]:
         expect = sum(int(want[j]) * pow(w, j * k, gl.P) for j in range(small)) % gl.P
         assert int(sy[k]) == expect, f"DFT mismatch at k={k}"
-    log("ntt correctness gate passed")
+    log("ntt correctness gate passed (host np_ntt full-row + DFT spot)")
 
     dt = timeit(lambda: fwd(x), iters=10)
     elems_per_s = batch * n / dt
@@ -276,25 +285,17 @@ def bench_fri_full(n_log2: int = 22):
     from eigen_zeth_tpu.ops import goldilocks as gl
     from eigen_zeth_tpu.ops import ntt as nttm
 
-    params = fri.FriParams()
+    # arity-8 reduction (layers after the first): 6 committed trees at
+    # 2^22 instead of 16 — the fused program compiles ~5x smaller, which
+    # matters because the axon TPU backend cannot persist executables
+    # (every driver run compiles cold); the protocol + verifier are the
+    # production code paths (fri.FriParams.arity)
+    params = fri.FriParams(arity=8)
     rng = np.random.default_rng(7)
 
     def low_degree_evals(m):
         coeffs = gl.random_gf((m // params.blowup,), rng)
         return nttm.lde(coeffs, params.blowup, gl.MULTIPLICATIVE_GENERATOR)
-
-    # correctness gate at 2^14: round trip + tamper rejection
-    small = low_degree_evals(1 << 14)
-    out = fri.fri_prove(small, gl.MULTIPLICATIVE_GENERATOR, Transcript("bench-fri"), params)
-    ok, _ = fri.fri_verify(out.proof, Transcript("bench-fri"), params)
-    assert ok, "FRI round-trip failed"
-    bad = json.loads(json.dumps(out.proof))
-    bad["queries"][0]["layers"][0]["u"] = str(
-        (int(bad["queries"][0]["layers"][0]["u"]) + 1) % gl.P
-    )
-    ok_bad, _ = fri.fri_verify(bad, Transcript("bench-fri"), params)
-    assert not ok_bad, "FRI accepted a tampered opening"
-    log("fri full-protocol correctness gate passed (round trip + tamper)")
 
     m = 1 << n_log2
     evals = low_degree_evals(m)
@@ -306,8 +307,24 @@ def bench_fri_full(n_log2: int = 22):
         )
 
     t0 = time.time()
-    run()
+    out = run()
     log(f"fri full first call (compile+run): {time.time() - t0:.1f}s")
+
+    # correctness gate ON THE MEASURED ARTIFACT: full host verification
+    # of the 2^22 proof + tamper rejection.  (Stronger than the old
+    # separate 2^14 round trip, and — critically — zero extra compiles:
+    # the axon backend compiles every program cold, and the old gate's
+    # second fused-program compile cost more than the measured section.)
+    ok, _ = fri.fri_verify(out.proof, Transcript("bench-fri"), params)
+    assert ok, "FRI round-trip failed"
+    bad = json.loads(json.dumps(out.proof))
+    bad["queries"][0]["layers"][0]["u"] = str(
+        (int(bad["queries"][0]["layers"][0]["u"]) + 1) % gl.P
+    )
+    ok_bad, _ = fri.fri_verify(bad, Transcript("bench-fri"), params)
+    assert not ok_bad, "FRI accepted a tampered opening"
+    log("fri full-protocol correctness gate passed (2^22 verify + tamper)")
+
     dt = timeit_host(run, iters=1)
     log(
         f"fri commit+open 2^{n_log2} (full protocol, {params.num_queries} queries):"
@@ -324,16 +341,9 @@ def bench_stark_chunk(n_log2: int = 18):
     from eigen_zeth_tpu.models import stark
     from eigen_zeth_tpu.ops import goldilocks as gl
 
-    # correctness gate at a small size: verify + tamper rejection
-    params = stark.StarkParams()
+    # fri_arity=8 (standalone chunk proofs — recursion keeps arity 2)
+    params = stark.StarkParams(fri_arity=8)
     rng = np.random.default_rng(8)
-    small_data = [int(x) for x in rng.integers(0, gl.P, size=1000, dtype=np.uint64)]
-    proof = stark.prove_chunk(small_data, iv=123, params=params)
-    assert stark.verify_chunk(proof, params), "chunk STARK round-trip failed"
-    bad = json.loads(json.dumps(proof))
-    bad["public"]["out"] = str((int(bad["public"]["out"]) + 1) % gl.P)
-    assert not stark.verify_chunk(bad, params), "accepted tampered public output"
-    log("chunk STARK correctness gate passed (round trip + tamper)")
 
     n = 1 << n_log2
     data = [int(x) for x in rng.integers(0, gl.P, size=n - 2, dtype=np.uint64)]
@@ -345,6 +355,15 @@ def bench_stark_chunk(n_log2: int = 18):
     p = run()
     assert int(p["n"]) == n
     log(f"stark chunk first call (compile+run): {time.time() - t0:.1f}s")
+
+    # correctness gate ON THE MEASURED ARTIFACT (full host verification
+    # of the 2^18-row proof + tamper rejection; no extra compiles — the
+    # axon backend compiles every program cold)
+    assert stark.verify_chunk(p, params), "chunk STARK round-trip failed"
+    bad = json.loads(json.dumps(p))
+    bad["public"]["out"] = str((int(bad["public"]["out"]) + 1) % gl.P)
+    assert not stark.verify_chunk(bad, params), "accepted tampered public output"
+    log("chunk STARK correctness gate passed (2^18 verify + tamper)")
     dt = timeit_host(run, iters=1)
     log(
         f"chunk STARK prove, 2^{n_log2}-row trace (LDE 2^{n_log2 + 2}):"

@@ -47,10 +47,33 @@ class FriParams:
     blowup: int = 4
     num_queries: int = 30
     terminal_size: int = 64  # stop folding at this many evaluations
+    # Reduction arity for layers AFTER the first (power of two).  Layer 0
+    # always commits (f(x), f(-x)) pairs so callers' layer-0 cross-checks
+    # (stark/air composition consistency) keep their (jj, u, v) shape.
+    # Arity A > 2 folds log2(A) binary levels per committed Merkle tree
+    # with sub-level betas β, β², β⁴, … (equivalent to the standard
+    # Σ g_k β^k coefficient combination), cutting both the number of
+    # trees the prover hashes and — decisively on TPU — the size of the
+    # fused single-dispatch XLA program (plonky2-style reduction arity).
+    # Recursion (the verifier AIR) consumes arity-2 proofs only; the
+    # production chunk pipeline keeps arity=2, big standalone proofs use 8.
+    arity: int = 2
 
     @property
     def max_degree_ratio(self) -> int:
         return self.blowup
+
+    def layer_schedule(self, m: int) -> List[int]:
+        """Per-committed-layer arities for a size-m domain (deterministic
+        from params — the verifier replays it)."""
+        assert self.arity & (self.arity - 1) == 0 and self.arity >= 2
+        out: List[int] = []
+        size = m
+        while size > self.terminal_size:
+            a = 2 if not out else min(self.arity, size // self.terminal_size)
+            out.append(a)
+            size //= a
+        return out
 
 
 def fold_layer(evals: GF, beta: int, shift: int) -> GF:
@@ -73,8 +96,7 @@ def fold_layer(evals: GF, beta: int, shift: int) -> GF:
 @dataclass
 class FriLayerWitness:
     tree: merkle.MerkleTree
-    u: GF
-    v: GF
+    vals: GF  # (c, A) leaf rows: leaf jj holds [f(x_{jj + k·c}) for k < A]
 
 
 @dataclass
@@ -111,23 +133,26 @@ def fri_prove(
     betas = []
     cur = evals
     cur_shift = shift
-    while cur.lo.shape[-1] > params.terminal_size:
+    schedule = params.layer_schedule(m)
+    for A in schedule:
         size = cur.lo.shape[-1]
-        half = size // 2
-        u = GF(cur.lo[:half], cur.hi[:half])
-        v = GF(cur.lo[half:], cur.hi[half:])
-        leaves = GF(
-            jnp.stack([u.lo, v.lo], axis=1), jnp.stack([u.hi, v.hi], axis=1)
-        )
+        c = size // A
+        # leaf jj holds [f at jj + k·c for k < A]: reshape (A, c) -> (c, A)
+        resh = gl.reshape(cur, (A, c))
+        leaves = gl.transpose(resh, (1, 0))
         tree = merkle.commit_leaves(leaves)
         root = tree.root()
         transcript.absorb("fri-root", root)
         beta = transcript.challenge("fri-beta")
-        layers.append(FriLayerWitness(tree=tree, u=u, v=v))
+        layers.append(FriLayerWitness(tree=tree, vals=leaves))
         roots.append(root)
         betas.append(beta)
-        cur = fold_layer(cur, beta, cur_shift)
-        cur_shift = gl.h_mul(cur_shift, cur_shift)
+        # arity-A fold = log2(A) binary folds with betas β^(2^t)
+        b = beta
+        for _ in range(A.bit_length() - 1):
+            cur = fold_layer(cur, b, cur_shift)
+            cur_shift = gl.h_mul(cur_shift, cur_shift)
+            b = gl.h_mul(b, b)
 
     # terminal layer: interpolate and send coefficients
     final_evals = gl.to_int(cur)
@@ -150,23 +175,23 @@ def fri_prove(
     per_layer = []
     js = np.asarray(indices, dtype=np.int64)
     for wit in layers:
-        half = wit.u.lo.shape[-1]
-        jj = js % half
-        u_vals = np.atleast_1d(gl.to_int(GF(wit.u.lo[jj], wit.u.hi[jj])))
-        v_vals = np.atleast_1d(gl.to_int(GF(wit.v.lo[jj], wit.v.hi[jj])))
+        c = wit.vals.lo.shape[0]
+        jj = js % c
+        rows = np.atleast_2d(gl.to_int(GF(wit.vals.lo[jj], wit.vals.hi[jj])))
         paths = wit.tree.open_many(jj)
-        per_layer.append((u_vals, v_vals, paths))
+        per_layer.append((rows, paths))
         js = jj
     queries = []
     for q, idx in enumerate(indices):
-        layer_openings = [
-            {
-                "u": str(int(u_vals[q])),
-                "v": str(int(v_vals[q])),
-                "path": [[str(x) for x in d] for d in paths[q]],
-            }
-            for (u_vals, v_vals, paths) in per_layer
-        ]
+        layer_openings = []
+        for (rows, paths) in per_layer:
+            path = [[str(x) for x in d] for d in paths[q]]
+            if rows.shape[1] == 2:  # arity-2 keeps the (u, v) wire format
+                o = {"u": str(int(rows[q][0])), "v": str(int(rows[q][1])),
+                     "path": path}
+            else:
+                o = {"vals": [str(int(x)) for x in rows[q]], "path": path}
+            layer_openings.append(o)
         queries.append({"index": idx, "layers": layer_openings})
 
     proof = {
@@ -190,20 +215,21 @@ def fri_verify(
     roots = [[int(x) for x in r] for r in proof["roots"]]
     final_coeffs = [int(c) for c in proof["final_coeffs"]]
 
-    # replay transcript
+    # replay transcript (layer arities are deterministic from params)
+    schedule = params.layer_schedule(m)
+    if len(roots) != len(schedule):
+        return False, []
     betas = []
     sizes = []
     shifts = []
     size, cur_shift = m, shift
-    for r in roots:
-        if size <= params.terminal_size:
-            return False, []
+    for r, A in zip(roots, schedule):
         transcript.absorb("fri-root", r)
         betas.append(transcript.challenge("fri-beta"))
         sizes.append(size)
         shifts.append(cur_shift)
-        size //= 2
-        cur_shift = gl.h_mul(cur_shift, cur_shift)
+        size //= A
+        cur_shift = gl.h_pow(cur_shift, A)
     if size > params.terminal_size:
         return False, []
     if len(final_coeffs) != size // params.blowup:
@@ -240,35 +266,59 @@ def fri_verify(
         j = idx
         prev_expected = None  # folded value expected at this layer
         for li, layer in enumerate(q["layers"]):
-            half = sizes[li] // 2
-            jj = j % half
-            u, v = int(layer["u"]), int(layer["v"])
+            A = schedule[li]
+            c = sizes[li] // A
+            jj = j % c
+            if A == 2:
+                if "u" not in layer:
+                    return False, []
+                vals = [int(layer["u"]), int(layer["v"])]
+            else:
+                vals = [int(x) for x in layer.get("vals", [])]
+                if len(vals) != A:
+                    return False, []
             path = [[int(x) for x in d] for d in layer["path"]]
-            if not merkle.verify_path(roots[li], jj, [u, v], path):
+            if not merkle.verify_path(roots[li], jj, vals, path):
                 return False, []
             if li == 0:
-                layer0.append((jj, u, v))
+                layer0.append((jj, vals[0], vals[1]))
             else:
                 # the previous fold must equal this layer's value at j
-                got = u if j < half else v
-                if prev_expected != got:
+                if prev_expected != vals[j // c]:
                     return False, []
-            # fold locally
-            beta = betas[li]
-            w_inv = gl.h_inv(gl.primitive_root_of_unity(sizes[li]))
-            x_inv = gl.h_mul(gl.h_inv(shifts[li]), gl.h_pow(w_inv, jj))
-            even = (u + v) * INV2 % gl.P
-            odd = (u - v) * INV2 % gl.P * x_inv % gl.P * beta % gl.P
-            prev_expected = (even + odd) % gl.P
+            # local arity-A fold: log2(A) binary folds, betas β^(2^t);
+            # value k sits at position jj + k·c of the size-2^t-halved
+            # domain (pairs are (k, k + K/2) at every sub-level)
+            b = betas[li]
+            sz = sizes[li]
+            sh = shifts[li]
+            K = A
+            cur_vals = vals
+            while K > 1:
+                w_inv = gl.h_inv(gl.primitive_root_of_unity(sz))
+                sh_inv = gl.h_inv(sh)
+                nxt = []
+                for k in range(K // 2):
+                    x_inv = gl.h_mul(sh_inv, gl.h_pow(w_inv, jj + k * c))
+                    even = (cur_vals[k] + cur_vals[k + K // 2]) * INV2 % gl.P
+                    diff = (cur_vals[k] - cur_vals[k + K // 2]) * INV2 % gl.P
+                    odd = diff * x_inv % gl.P * b % gl.P
+                    nxt.append((even + odd) % gl.P)
+                cur_vals = nxt
+                K //= 2
+                sz //= 2
+                sh = gl.h_mul(sh, sh)
+                b = gl.h_mul(b, b)
+            prev_expected = cur_vals[0]
             j = jj
         # terminate against the final polynomial
-        t_size = sizes[-1] // 2
-        t_shift = gl.h_mul(shifts[-1], shifts[-1])
+        t_size = sizes[-1] // schedule[-1]
+        t_shift = gl.h_pow(shifts[-1], schedule[-1])
         w = gl.primitive_root_of_unity(t_size)
         x = gl.h_mul(t_shift, gl.h_pow(w, j))
         val = 0
-        for c in reversed(final_coeffs):
-            val = (val * x + c) % gl.P
+        for co in reversed(final_coeffs):
+            val = (val * x + co) % gl.P
         if val != prev_expected:
             return False, []
     return True, layer0

@@ -124,8 +124,13 @@ def _fold_traced(evals: GF, beta: GF, shift: int) -> GF:
 
 
 # below this level width the constant-shape scan's redundant hashing is
-# cheaper than adding more unrolled hash_two subgraphs to the trace
-UNROLL_MIN = 4096
+# cheaper than adding more unrolled hash_two subgraphs to the trace.
+# 64K (up from round 3's 4K): the axon platform cannot persist compiled
+# executables (its PJRT plugin lacks compilation-cache support), so every
+# driver bench run compiles this program COLD — trimming unrolled
+# subgraphs buys compile minutes for ~25% extra tail hashing on the
+# largest tree only.
+UNROLL_MIN = 1 << 16
 
 
 def _commit_levels(leaves: GF) -> List[GF]:
@@ -181,34 +186,43 @@ def _gather_paths(levels: List[GF], idx: jnp.ndarray) -> GF:
 
 
 def _build_fused(m: int, shift: int, pos0: int, blowup: int, terminal: int,
-                 num_queries: int):
-    """Trace the full commit+open program for one (size, shift, pos) key."""
+                 num_queries: int, arity: int):
+    """Trace the full commit+open program for one (size, shift, pos) key.
+
+    arity > 2 commits one Merkle tree per log2(arity) binary folds
+    (fri.FriParams.layer_schedule), shrinking both the number of trees
+    hashed at runtime and — decisively — the size of this fused XLA
+    program (the 16-tree arity-2 graph at 2^22 compiled for the better
+    part of an hour on the remote-compile path; 6 trees compile in
+    minutes)."""
 
     def run(state_lo, state_hi, ev_lo, ev_hi):
         dt = DeviceTranscript(GF(state_lo, state_hi), pos0)
         cur = GF(ev_lo, ev_hi)
         cur_shift = shift
-        layer_wit = []  # (levels, u, v) per layer
+        layer_wit = []  # (levels, vals (c, A)) per committed layer
         roots_l, betas = [], []
-        shifts = []
+        first = True
         while cur.lo.shape[-1] > terminal:
             size = cur.lo.shape[-1]
-            half = size // 2
-            u = GF(cur.lo[:half], cur.hi[:half])
-            v = GF(cur.lo[half:], cur.hi[half:])
-            leaves = GF(
-                jnp.stack([u.lo, v.lo], axis=1), jnp.stack([u.hi, v.hi], axis=1)
-            )
-            levels = _commit_levels(leaves)
+            A = 2 if first else min(arity, size // terminal)
+            first = False
+            c = size // A
+            # leaf jj holds [f at jj + k·c for k < A]
+            vals = gl.transpose(gl.reshape(cur, (A, c)), (1, 0))
+            levels = _commit_levels(vals)
             root = GF(levels[-1].lo[0], levels[-1].hi[0])  # (4,)
             dt.absorb("fri-root", root)
             beta = dt.challenge("fri-beta")
-            layer_wit.append((levels, u, v))
+            layer_wit.append((levels, vals))
             roots_l.append(root)
             betas.append(beta)
-            cur = _fold_traced(cur, beta, cur_shift)
-            shifts.append(cur_shift)
-            cur_shift = gl.h_mul(cur_shift, cur_shift)
+            # arity-A fold: log2(A) binary folds with betas β^(2^t)
+            b = beta
+            for _ in range(A.bit_length() - 1):
+                cur = _fold_traced(cur, b, cur_shift)
+                cur_shift = gl.h_mul(cur_shift, cur_shift)
+                b = gl.mul(b, b)
 
         # terminal: interpolate, unshift, absorb the kept coefficients
         tsize = cur.lo.shape[-1]
@@ -228,16 +242,15 @@ def _build_fused(m: int, shift: int, pos0: int, blowup: int, terminal: int,
         cs = dt.challenges("fri-query", num_queries)
         indices = (cs.lo & jnp.uint32(mask)).astype(jnp.int32)  # (Q,)
 
-        # openings: u/v gathers + sibling paths, all in-trace
+        # openings: leaf-row gathers + sibling paths, all in-trace
         layers_out = []
         js = indices
-        for levels, u, v in layer_wit:
-            half = u.lo.shape[-1]
-            jj = js & jnp.int32(half - 1)
-            u_vals = GF(u.lo[jj], u.hi[jj])
-            v_vals = GF(v.lo[jj], v.hi[jj])
+        for levels, vals in layer_wit:
+            c = vals.lo.shape[0]
+            jj = js & jnp.int32(c - 1)
+            rows = GF(vals.lo[jj], vals.hi[jj])  # (Q, A)
             paths = _gather_paths(levels, jj)
-            layers_out.append({"u": u_vals, "v": v_vals, "paths": paths})
+            layers_out.append({"vals": rows, "paths": paths})
             js = jj
 
         return {
@@ -271,7 +284,7 @@ def fri_prove_fused(evals: GF, shift: int, transcript, params):
 
     state0, pos0 = transcript.export_state()
     key = (m, shift % gl.P, pos0, params.blowup, params.terminal_size,
-           params.num_queries)
+           params.num_queries, params.arity)
     if key not in _FUSED_CACHE:
         _FUSED_CACHE[key] = jax.jit(_build_fused(*key))
     st = gl.from_int(np.array(state0, dtype=np.uint64))
@@ -291,18 +304,18 @@ def fri_prove_fused(evals: GF, shift: int, transcript, params):
 
     queries = []
     layer_arrays = [
-        (ints(l["u"]), ints(l["v"]), ints(l["paths"])) for l in host["layers"]
+        (ints(l["vals"]), ints(l["paths"])) for l in host["layers"]
     ]
     for q, idx in enumerate(indices):
         layer_openings = []
-        for (u_vals, v_vals, paths) in layer_arrays:
-            layer_openings.append(
-                {
-                    "u": str(int(u_vals[q])),
-                    "v": str(int(v_vals[q])),
-                    "path": [[str(int(x)) for x in d] for d in paths[q]],
-                }
-            )
+        for (rows, paths) in layer_arrays:
+            path = [[str(int(x)) for x in d] for d in paths[q]]
+            if rows.shape[1] == 2:  # arity-2 keeps the (u, v) wire format
+                o = {"u": str(int(rows[q][0])), "v": str(int(rows[q][1])),
+                     "path": path}
+            else:
+                o = {"vals": [str(int(x)) for x in rows[q]], "path": path}
+            layer_openings.append(o)
         queries.append({"index": idx, "layers": layer_openings})
 
     proof = {

@@ -49,12 +49,17 @@ class StarkParams:
     num_queries: int = 30
     terminal_size: int = 64
     shift: int = gl.MULTIPLICATIVE_GENERATOR
+    # FRI reduction arity for layers after the first (fri.FriParams.arity).
+    # Recursion (the verifier AIR) consumes arity-2 proofs only, so the
+    # node's chunk pipeline keeps 2; big standalone chunk proofs use 8.
+    fri_arity: int = 2
 
     def fri_params(self) -> fri.FriParams:
         return fri.FriParams(
             blowup=self.blowup,
             num_queries=self.num_queries,
             terminal_size=self.terminal_size,
+            arity=self.fri_arity,
         )
 
 

@@ -192,6 +192,7 @@ class BatchProver:
                 stark_params.blowup == 4
                 and n_rows >= 8
                 and nq & (nq - 1) == 0
+                and stark_params.fri_arity == 2  # verifier AIR is arity-2
             )
         self.recursion = recursion
         self.agg_queries = agg_queries
@@ -205,6 +206,9 @@ class BatchProver:
             nq = self.stark_params.num_queries
             assert nq & (nq - 1) == 0, (
                 "recursion requires a power-of-two chunk query count"
+            )
+            assert self.stark_params.fri_arity == 2, (
+                "the verifier AIR arithmetizes arity-2 FRI only"
             )
         else:
             self.chunk_trace_rows = chunk_trace_rows

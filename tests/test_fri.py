@@ -137,3 +137,61 @@ def test_fused_prover_mid_transcript():
     b = fri.fri_prove(evals, SHIFT, t2, PARAMS, fused=True)
     assert a.proof == b.proof
     assert t1.export_state() == t2.export_state()
+
+
+# --- reduction arity > 2 (fri.FriParams.arity) ------------------------------
+
+ARITY8 = fri.FriParams(blowup=4, num_queries=4, terminal_size=32, arity=8)
+
+
+def test_arity8_roundtrip_and_layer_count():
+    """Arity-8 reduction: log2(arity) binary folds per committed tree.
+    At 2^12 with a 32-terminal the schedule is [2, 8, 8] (layer 0 always
+    pairs so callers' (jj, u, v) layer-0 cross-checks keep their shape)."""
+    _, evals = _commit_poly(1 << 10)  # domain 2^12
+    out = fri.fri_prove(evals, SHIFT, Transcript("a8"), ARITY8, fused=False)
+    assert len(out.proof["roots"]) == 3  # vs 7 at arity 2
+    assert ARITY8.layer_schedule(1 << 12) == [2, 8, 8]
+    ok, layer0 = fri.fri_verify(out.proof, Transcript("a8"), ARITY8)
+    assert ok and len(layer0) == ARITY8.num_queries
+    # layer-0 openings still pairwise
+    q0 = out.proof["queries"][0]["layers"]
+    assert set(q0[0].keys()) == {"u", "v", "path"}
+    assert set(q0[1].keys()) == {"vals", "path"} and len(q0[1]["vals"]) == 8
+
+
+def test_arity8_rejects_tampered_leaf_value():
+    _, evals = _commit_poly(1 << 10)
+    out = fri.fri_prove(evals, SHIFT, Transcript("a8"), ARITY8, fused=False)
+    for li in (0, 1, 2):
+        bad = copy.deepcopy(out.proof)
+        layer = bad["queries"][0]["layers"][li]
+        if "u" in layer:
+            layer["u"] = str((int(layer["u"]) + 1) % gl.P)
+        else:
+            layer["vals"][3] = str((int(layer["vals"][3]) + 1) % gl.P)
+        ok, _ = fri.fri_verify(bad, Transcript("a8"), ARITY8)
+        assert not ok, f"accepted tampered layer {li}"
+
+
+def test_arity8_rejects_wrong_arity_params():
+    """A proof built at arity 8 must not verify under arity-2 params and
+    vice versa (the layer schedule is bound through the transcript)."""
+    _, evals = _commit_poly(1 << 10)
+    p2 = fri.FriParams(blowup=4, num_queries=4, terminal_size=32, arity=2)
+    out8 = fri.fri_prove(evals, SHIFT, Transcript("x"), ARITY8, fused=False)
+    out2 = fri.fri_prove(evals, SHIFT, Transcript("x"), p2, fused=False)
+    assert not fri.fri_verify(out8.proof, Transcript("x"), p2)[0]
+    assert not fri.fri_verify(out2.proof, Transcript("x"), ARITY8)[0]
+
+
+def test_arity8_fused_matches_host():
+    _, evals = _commit_poly(1 << 7)  # domain 2^9: schedule [2, 8] (XLA CPU
+    # compile of fused programs is minutes-per-tree; keep this minimal)
+    t1, t2 = Transcript("f8"), Transcript("f8")
+    host = fri.fri_prove(evals, SHIFT, t1, ARITY8, fused=False)
+    dev = fri.fri_prove(evals, SHIFT, t2, ARITY8, fused=True)
+    assert host.proof == dev.proof
+    assert t1.export_state() == t2.export_state()
+    ok, _ = fri.fri_verify(dev.proof, Transcript("f8"), ARITY8)
+    assert ok

@@ -285,21 +285,26 @@ def bench_fri_full(n_log2: int = 22):
     from eigen_zeth_tpu.ops import goldilocks as gl
     from eigen_zeth_tpu.ops import ntt as nttm
 
-    # arity-8 reduction (layers after the first): 6 committed trees at
-    # 2^22 instead of 16 — the fused program compiles ~5x smaller, which
-    # matters because the axon TPU backend cannot persist executables
-    # (every driver run compiles cold); the protocol + verifier are the
-    # production code paths (fri.FriParams.arity)
+    # arity-8 reduction + the round-5 padded M-machine prover: shared
+    # fixed-shape commit/fold/open programs (compiled once per process,
+    # reused by the stark/e2e sections) — the axon backend cannot persist
+    # executables and charges ~30 ms per HLO op per new program
     params = fri.FriParams(arity=8)
     rng = np.random.default_rng(7)
 
-    def low_degree_evals(m):
-        coeffs = gl.random_gf((m // params.blowup,), rng)
-        return nttm.lde(coeffs, params.blowup, gl.MULTIPLICATIVE_GENERATOR)
-
     m = 1 << n_log2
-    evals = low_degree_evals(m)
+    coeffs = gl.random_gf((m // params.blowup,), rng)
+    # ONE jitted setup program: the eager per-op LDE at 2^22 paid ~395 s
+    # of remote compiles on the axon backend (round-5 measurement)
+    lde_fn = jax.jit(
+        lambda lo, hi: nttm.lde(
+            gl.GF(lo, hi), params.blowup, gl.MULTIPLICATIVE_GENERATOR
+        )
+    )
+    t0 = time.time()
+    evals = lde_fn(coeffs.lo, coeffs.hi)
     jax.block_until_ready(evals.lo)
+    log(f"fri setup LDE (jit compile+run): {time.time() - t0:.1f}s")
 
     def run():
         return fri.fri_prove(
@@ -372,16 +377,9 @@ def bench_stark_chunk(n_log2: int = 18):
     return dt
 
 
-def bench_e2e_batch(n_blocks: int = 210):
-    """BASELINE config 5: end-to-end batch proof wall-clock through the
-    four ProverService steps (GenBatchChunks -> GenChunkProof [batched
-    chunk STARKs] -> GenAggregatedProof -> GenFinalProof/Groth16), the
-    same call sequence the node's proving state machine drives
-    (reference: src/prover/provider.rs:276-540)."""
-    from eigen_zeth_tpu.protocol import prover_service as ps
+def _run_e2e(prover, n_blocks: int):
     from eigen_zeth_tpu.protocol.messages import ProofResultCode
 
-    prover = ps.BatchProver()
     blocks = list(range(1, n_blocks + 1))
 
     def run():
@@ -401,15 +399,50 @@ def bench_e2e_batch(n_blocks: int = 210):
         assert r4.result_code == ProofResultCode.COMPLETED_OK, r4.error_message
         return r1.chunk_count
 
+    return run
+
+
+def bench_e2e_batch(n_blocks: int = 210):
+    """BASELINE config 5: end-to-end batch proof wall-clock through the
+    four ProverService steps (GenBatchChunks -> GenChunkProof [chunk
+    STARKs] -> GenAggregatedProof -> GenFinalProof/Groth16), the same
+    call sequence the node's proving state machine drives (reference:
+    src/prover/provider.rs:276-540).  This tier runs the digest
+    aggregation + MiMC Groth16 wrap (host MSMs — the circuit is ~1.3K
+    constraints); the production stark-wrap tier is measured separately
+    (e2e_prod_stark_wrap_wall_s) because its in-circuit verifier is
+    orders of magnitude more work."""
+    from eigen_zeth_tpu.protocol import prover_service as ps
+
+    prover = ps.BatchProver(wrap="mimc", recursion=False, use_jit=False)
+    run = _run_e2e(prover, n_blocks)
     t0 = time.time()
     chunk_count = run()
     dt0 = time.time() - t0
-    log(f"e2e first call (compile+run): {dt0:.1f}s ({chunk_count} chunks)")
+    log(f"e2e first call: {dt0:.1f}s ({chunk_count} chunks)")
     dt = timeit_host(run, iters=1)
     log(
         f"e2e batch proof ({n_blocks} blocks, {chunk_count} chunks, 4 steps"
         f" incl Groth16 wrap + self-verify): {dt:9.2f} s"
     )
+    return dt
+
+
+def bench_e2e_stark_wrap(n_blocks: int = 210):
+    """The PRODUCTION shape (VERDICT r4 item 2): 4096-row chunks, 32
+    queries, fold-layer recursion, and the SOUND stark wrap — the Groth16
+    circuit verifies the wrap-profile attestation STARKs in-circuit.
+    Requires the CRS artifact (artifacts/crs) — generated once per
+    deployment shape by BatchProver.ensure_wrap_crs, never inside
+    gen_final_proof."""
+    from eigen_zeth_tpu.protocol import prover_service as ps
+
+    prover = ps.BatchProver(wrap="stark")
+    run = _run_e2e(prover, n_blocks)
+    t0 = time.time()
+    chunk_count = run()
+    dt = time.time() - t0
+    log(f"e2e PRODUCTION stark-wrap ({n_blocks} blocks, {chunk_count} chunks): {dt:9.2f} s")
     return dt
 
 
@@ -482,15 +515,21 @@ def main() -> None:
             _sig.signal(_sig.SIGALRM, old)
         emit()
 
-    soft("msm_g1_2e18_points_per_s", bench_msm)
+    soft("msm_g1_2e18_points_per_s", bench_msm, budget_s=300)
     if extra["msm_g1_2e18_points_per_s"]:
         extra["msm_vs_baseline_2e20_per_s"] = round(
             extra["msm_g1_2e18_points_per_s"] / BASELINE_MSM_POINTS_PER_S, 3
         )
-    soft("fri_full_2e22_elems_per_s", bench_fri_full, budget_s=480)
+    # stark before fri: both share the M-machine programs (whoever runs
+    # first pays the one-time compile); the stark + e2e metrics have
+    # never been captured (VERDICT r4 item 1) so they get first claim
     soft("stark_chunk_2e18_trace_wall_s", bench_stark_chunk,
-         fmt=lambda v: round(v, 2))
-    soft("e2e_batch_proof_wall_s", bench_e2e_batch, fmt=lambda v: round(v, 2))
+         fmt=lambda v: round(v, 2), budget_s=750)
+    soft("e2e_batch_proof_wall_s", bench_e2e_batch,
+         fmt=lambda v: round(v, 2), budget_s=300)
+    soft("fri_full_2e22_elems_per_s", bench_fri_full, budget_s=420)
+    soft("e2e_prod_stark_wrap_wall_s", bench_e2e_stark_wrap,
+         fmt=lambda v: round(v, 2), budget_s=420)
     if full:
         soft("merkle_2e16_leaves_per_s", bench_poseidon_merkle)
         soft("mont_mul_per_s", bench_mont_mul)

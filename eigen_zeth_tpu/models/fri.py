@@ -4,11 +4,15 @@ The polynomial-commitment layer of the chunk prover (BASELINE config 4:
 FRI commit/open on a 2^22 constraint polynomial; the reference performs
 this inside its external prover service, SURVEY.md §2.9-bis).
 
-Protocol (arity-2 fold, coset domains):
-  prover      D_0 = s·H_0 (|H_0| = blowup·deg-bound), f_0 committed via a
-              Poseidon Merkle tree whose leaf j holds the sibling pair
-              (f(x_j), f(-x_j)) — one opening authenticates both points.
-  each layer  β ← transcript;  f_{i+1}(x²) = (f+f⁻)/2 + β·(f-f⁻)/(2x)
+Protocol (arity-schedule fold, coset domains):
+  prover      D_0 = s·H_0 (|H_0| = blowup·deg-bound).  Committed layers
+              follow FriParams.layer_schedule: layer 0 always commits
+              pairwise — leaf j holds (f(x_j), f(-x_j)) so one opening
+              authenticates both points and callers' layer-0 cross-checks
+              keep their (jj, u, v) shape — later layers commit arity-A
+              rows (leaf jj holds [f at jj + k·c for k < A]).
+  each layer  β ← transcript;  then log2(A) binary folds with sub-level
+              betas β, β², β⁴, …:  f_{i+1}(x²) = (f+f⁻)/2 + β·(f-f⁻)/(2x)
               (evaluations fold pairwise: one vectorized device op)
   terminal    remaining evaluations are interpolated (INTT) and the raw
               coefficients are absorbed — the verifier checks the degree
@@ -57,6 +61,14 @@ class FriParams:
     # fused single-dispatch XLA program (plonky2-style reduction arity).
     # Recursion (the verifier AIR) consumes arity-2 proofs only; the
     # production chunk pipeline keeps arity=2, big standalone proofs use 8.
+    # Soundness caveat (round-4 advisor): per-layer batching draws the
+    # single challenge β (and its powers β..β^{A-1}) from the 64-bit
+    # BASE field; plonky2 — whose reduction-arity pattern this follows —
+    # samples FRI challenges from a degree-2 extension precisely because
+    # the base field is small.  Arity > 2 widens the batching error term
+    # (~(A-1)·deg/|F| per layer), so extension-field challenges are the
+    # tracked fix before arity-8 proofs are relied on adversarially
+    # (alongside the ~60-bit query-budget remark above).
     arity: int = 2
 
     @property
@@ -93,6 +105,233 @@ def fold_layer(evals: GF, beta: int, shift: int) -> GF:
     return gl.add(even, odd)
 
 
+_FOLD_PAD_PROG = None
+_XINV_CACHE: dict = {}
+
+
+def _pad_buffer_len() -> int:
+    from . import merkle
+
+    return 2 * merkle.PAD_ROWS
+
+
+def _fold_xinv_padded(m: int, shift: int):
+    """Device-resident (x_j)^-1 fold twiddles for size m, zero-padded to
+    the shared buffer half-width.  Host-computed (vectorized np_mulmod),
+    transferred once per (m, shift), reused every proof."""
+    key = (m, shift % gl.P)
+    if key not in _XINV_CACHE:
+        import jax.numpy as jnp
+
+        M = _pad_buffer_len()
+        w_inv = gl.h_inv(gl.primitive_root_of_unity(m))
+        s_inv = gl.h_inv(shift)
+        xs = np.zeros(M // 2, dtype=np.uint64)
+        xs[: m // 2] = gl.np_mulmod(gl.powers_np(w_inv, m // 2), np.uint64(s_inv))
+        g = gl.from_int_np(xs)
+        _XINV_CACHE[key] = GF(jnp.asarray(g.lo), jnp.asarray(g.hi))
+    return _XINV_CACHE[key]
+
+
+def _fold_pad_prog():
+    """ONE shared fold program for every layer size: the (M,) buffer
+    holds the live m-prefix; v_j = x[j + m/2] rides a runtime-scalar
+    gather, so no layer shape ever recompiles (axon compile is ~30 ms
+    per HLO op — per-shape fold programs cost ~a minute each)."""
+    global _FOLD_PAD_PROG
+    if _FOLD_PAD_PROG is not None:
+        return _FOLD_PAD_PROG
+    import jax
+    import jax.numpy as jnp
+
+    def run(xlo, xhi, m, blo, bhi, xinv_lo, xinv_hi):
+        M = xlo.shape[0]
+        half = M // 2
+        j = jnp.arange(half, dtype=jnp.int32)
+        vidx = (j + (m // 2).astype(jnp.int32)) & jnp.int32(M - 1)
+        u = GF(xlo[:half], xhi[:half])
+        v = GF(xlo[vidx], xhi[vidx])
+        even = gl.mul_scalar(gl.add(u, v), INV2)
+        odd = gl.mul(
+            gl.mul(gl.mul_scalar(gl.sub(u, v), INV2), GF(xinv_lo, xinv_hi)),
+            GF(jnp.broadcast_to(blo, u.lo.shape), jnp.broadcast_to(bhi, u.hi.shape)),
+        )
+        out = gl.add(even, odd)
+        z = jnp.zeros((half,), jnp.uint32)
+        return jnp.concatenate([out.lo, z]), jnp.concatenate([out.hi, z])
+
+    _FOLD_PAD_PROG = jax.jit(run)
+    return _FOLD_PAD_PROG
+
+
+def _np_fold(x: np.ndarray, beta: int, shift: int) -> np.ndarray:
+    """Host fold on uint64 numpy (small layers / CPU tails)."""
+    m = len(x)
+    half = m // 2
+    u, v = x[:half], x[half:]
+    w_inv = gl.h_inv(gl.primitive_root_of_unity(m))
+    s_inv = gl.h_inv(shift)
+    x_inv = gl.np_mulmod(gl.powers_np(w_inv, half), np.uint64(s_inv))
+    inv2 = np.uint64(INV2)
+    even = gl.np_mulmod(gl.np_addmod(u, v), inv2)
+    odd = gl.np_mulmod(
+        gl.np_mulmod(gl.np_mulmod(gl.np_submod(u, v), inv2), x_inv),
+        np.uint64(beta % gl.P),
+    )
+    return gl.np_addmod(even, odd)
+
+
+class _NpTree:
+    """Host tree over (c, A) numpy leaf rows (C++ engine when available,
+    numpy Poseidon otherwise) with the same open_with_rows surface as
+    merkle.PaddedMerkleTree."""
+
+    def __init__(self, vals: np.ndarray):
+        self.vals = vals  # (c, A) uint64
+        try:
+            from ..native import poseidon2 as nps
+
+            digests = nps.hash_elements(np.ascontiguousarray(vals))
+            self.levels = [digests] + nps.tree(digests)
+        except Exception:
+            from ..ops import poseidon as ps
+
+            level = ps.np_hash_elements(vals)
+            self.levels = [level]
+            while level.shape[0] > 1:
+                level = ps.np_hash_two(level[0::2], level[1::2])
+                self.levels.append(level)
+
+    def root(self) -> list[int]:
+        return [int(v) for v in self.levels[-1][0]]
+
+    def open_with_rows(self, indices):
+        idx = np.asarray(list(indices), dtype=np.int64)
+        rows = self.vals[idx % self.vals.shape[0]]
+        paths = []
+        for j in idx:
+            j = int(j) % self.vals.shape[0]
+            path = []
+            for li in range(len(self.levels) - 1):
+                path.append([int(v) for v in self.levels[li][(j >> li) ^ 1]])
+            paths.append(path)
+        return rows, paths
+
+
+def _fri_prove_padded(
+    evals: GF, shift: int, transcript: Transcript, params: FriParams
+) -> FriProverOutput:
+    """The TPU layered prover: shared fixed-shape device programs for the
+    big layers (merkle M-machine + one padded fold program), C++/numpy
+    host work below NATIVE_MIN_LEAVES.  Proof bytes identical to the
+    host-orchestrated path (same transcript, same trees)."""
+    import jax
+    import jax.numpy as jnp
+
+    from . import merkle
+
+    m = evals.lo.shape[-1]
+    M = _pad_buffer_len()
+    assert m <= M
+    schedule = params.layer_schedule(m)
+
+    cur_pad = None  # (M,) device planes
+    cur_np = None  # uint64 numpy once on host
+    if schedule and m // schedule[0] >= merkle.NATIVE_MIN_LEAVES:
+        # device mode entry: pad once (one eager op per distinct m)
+        cur_pad = (
+            jnp.pad(evals.lo, (0, M - m)),
+            jnp.pad(evals.hi, (0, M - m)),
+        )
+    else:
+        cur_np = np.asarray(gl.to_int(evals), dtype=np.uint64)
+
+    cur_m, cur_shift = m, shift
+    layers = []  # (tree-like, c, A)
+    roots, betas = [], []
+    for A in schedule:
+        c = cur_m // A
+        if cur_pad is not None and c < merkle.NATIVE_MIN_LEAVES:
+            # transition to host: one transfer of the padded buffer
+            full = gl.to_int(GF(cur_pad[0], cur_pad[1]))
+            cur_np = np.asarray(full[:cur_m], dtype=np.uint64)
+            cur_pad = None
+        if cur_pad is not None:
+            tree = merkle.commit_evals_device(cur_pad, c, A)
+        else:
+            tree = _NpTree(
+                np.ascontiguousarray(
+                    cur_np.reshape(A, c).T
+                )
+            )
+        root = tree.root()
+        transcript.absorb("fri-root", root)
+        beta = transcript.challenge("fri-beta")
+        layers.append((tree, c, A))
+        roots.append(root)
+        betas.append(beta)
+        b = beta
+        for _ in range(A.bit_length() - 1):
+            if cur_pad is not None:
+                bg = gl.from_int(np.uint64(b % gl.P))
+                xinv = _fold_xinv_padded(cur_m, cur_shift)
+                cur_pad = _fold_pad_prog()(
+                    cur_pad[0], cur_pad[1], jnp.int32(cur_m),
+                    bg.lo, bg.hi, xinv.lo, xinv.hi,
+                )
+            else:
+                cur_np = _np_fold(cur_np, b, cur_shift)
+            cur_m //= 2
+            cur_shift = gl.h_mul(cur_shift, cur_shift)
+            b = gl.h_mul(b, b)
+
+    # terminal: host interpolation (tiny)
+    if cur_pad is not None:
+        full = gl.to_int(GF(cur_pad[0], cur_pad[1]))
+        cur_np = np.asarray(full[:cur_m], dtype=np.uint64)
+    tsize = cur_m
+    coeffs_shifted = gl.np_intt(cur_np)
+    s_inv = gl.h_inv(cur_shift)
+    final_coeffs, si = [], 1
+    for co in coeffs_shifted:
+        final_coeffs.append(gl.h_mul(int(co), si))
+        si = gl.h_mul(si, s_inv)
+    keep = tsize // params.blowup
+    assert all(co == 0 for co in final_coeffs[keep:]), "terminal degree too high"
+    final_coeffs = final_coeffs[:keep]
+    transcript.absorb("fri-final", final_coeffs)
+
+    indices = transcript.challenge_indices("fri-query", params.num_queries, m // 2)
+    per_layer = []
+    js = np.asarray(indices, dtype=np.int64)
+    for tree, c, A in layers:
+        jj = js % c
+        rows, paths = tree.open_with_rows(jj)
+        per_layer.append((np.atleast_2d(rows), paths))
+        js = jj
+    queries = []
+    for q, idx in enumerate(indices):
+        layer_openings = []
+        for (rows, paths) in per_layer:
+            path = [[str(x) for x in d] for d in paths[q]]
+            if rows.shape[1] == 2:
+                o = {"u": str(int(rows[q][0])), "v": str(int(rows[q][1])),
+                     "path": path}
+            else:
+                o = {"vals": [str(int(x)) for x in rows[q]], "path": path}
+            layer_openings.append(o)
+        queries.append({"index": idx, "layers": layer_openings})
+
+    proof = {
+        "domain_size": m,
+        "shift": str(shift),
+        "roots": [[str(x) for x in r] for r in roots],
+        "final_coeffs": [str(c) for c in final_coeffs],
+        "queries": queries,
+    }
+    return FriProverOutput(proof=proof, layer0_indices=indices)
+
+
 @dataclass
 class FriLayerWitness:
     tree: merkle.MerkleTree
@@ -114,20 +353,27 @@ def fri_prove(
 ) -> FriProverOutput:
     """Commit + open. evals: (m,) coset evaluations (natural order).
 
-    fused=None auto-selects: on accelerator backends the whole protocol
-    runs as ONE jitted dispatch (models/fri_fused.py — byte-identical
-    proofs, no per-layer host sync); the host-orchestrated path below is
-    the reference implementation and the CPU/test default."""
+    fused=None selects by backend (round 5): on accelerator backends the
+    PADDED layered prover (_fri_prove_padded — the merkle M-machine's
+    shared fixed-shape programs + one shared padded fold program, with
+    C++/numpy host work for small layers); on CPU the host-orchestrated
+    reference path below.  The single-dispatch fused program
+    (models/fri_fused.py, fused=True — byte-identical proofs) minimized
+    host syncs but its scan-heavy graph cold-compiled in 816–2888 s on
+    the remote-compile TPU backend, where compile time — not device time
+    — is the scarce resource (docs/BENCH_NOTES.md; measured ~30 ms per
+    HLO op, per-shape programs and eager dispatch storms unaffordable)."""
     m = evals.lo.shape[-1]
     assert m & (m - 1) == 0
-    if fused is None:
-        import jax as _jax
-
-        fused = _jax.default_backend() != "cpu" and m > params.terminal_size
     if fused:
         from .fri_fused import fri_prove_fused
 
         return fri_prove_fused(evals, shift, transcript, params)
+    import jax as _jax
+
+    if fused is None and _jax.default_backend() != "cpu":
+        return _fri_prove_padded(evals, shift, transcript, params)
+    fold_fn = fold_layer
     layers: List[FriLayerWitness] = []
     roots = []
     betas = []
@@ -150,14 +396,17 @@ def fri_prove(
         # arity-A fold = log2(A) binary folds with betas β^(2^t)
         b = beta
         for _ in range(A.bit_length() - 1):
-            cur = fold_layer(cur, b, cur_shift)
+            cur = fold_fn(cur, b, cur_shift)
             cur_shift = gl.h_mul(cur_shift, cur_shift)
             b = gl.h_mul(b, b)
 
-    # terminal layer: interpolate and send coefficients
+    # terminal layer: interpolate and send coefficients (host numpy —
+    # the terminal is ≤ terminal_size elements; a device INTT here would
+    # cost a per-shape compile on the remote-compile backend for ~64
+    # elements of work)
     final_evals = gl.to_int(cur)
     tsize = len(final_evals)
-    coeffs_shifted = gl.to_int(nttm.intt(gl.from_int(final_evals)))
+    coeffs_shifted = gl.np_intt(np.asarray(final_evals, dtype=np.uint64))
     s_inv = gl.h_inv(cur_shift)
     final_coeffs, si = [], 1
     for c in coeffs_shifted:

@@ -74,23 +74,20 @@ def commit_digests(leaf_digests: GF) -> MerkleTree:
 
 
 def _commit_leaves_host(leaves: GF) -> MerkleTree:
-    """Host-bigint commit: on CPU backends the per-op dispatch overhead of
-    the eager device path dwarfs the math (~1s vs ~3ms per permutation);
-    production TPU runs use the device path."""
+    """Host-numpy commit: on CPU backends the per-op dispatch overhead of
+    the eager device path dwarfs the math; vectorized numpy Poseidon
+    (poseidon.np_perm, bit-identical to perm_host) hashes whole levels at
+    once — the round-4 row-by-row bigint loop here dominated the CPU
+    test suite's runtime.  Production TPU runs use the device path."""
     rows = gl.to_int(leaves)
     if rows.ndim == 1:
         rows = rows[:, None]
-    level = [poseidon.hash_elements_host([int(v) for v in row]) for row in rows]
-    levels_int = [level]
-    while len(level) > 1:
-        level = [
-            poseidon.hash_two_host(level[i], level[i + 1])
-            for i in range(0, len(level), 2)
-        ]
-        levels_int.append(level)
-    levels = [
-        gl.from_int_np(np.array(lv, dtype=np.uint64)) for lv in levels_int
-    ]
+    level = poseidon.np_hash_elements(rows)  # (n, 4)
+    levels_np = [level]
+    while level.shape[0] > 1:
+        level = poseidon.np_hash_two(level[0::2], level[1::2])
+        levels_np.append(level)
+    levels = [gl.from_int_np(lv) for lv in levels_np]
     return MerkleTree(levels=levels)
 
 
@@ -98,75 +95,272 @@ import jax as _jax
 import jax.numpy as _jnp
 
 
-# below this level width the constant-shape scan's redundant hashing is
-# cheaper than more unrolled hash_two subgraphs (compile time)
-UNROLL_MIN = 4096
+# --- the "M-machine": fixed-shape shared device programs ------------------
+#
+# Round-5 axon measurements: remote-compile cost is ~linear in HLO op
+# count (~30 ms/op — a scan-free 10-perm program compiled in 840 s) and
+# EVERY eager primitive dispatch at a new shape pays its own remote
+# compile (~tens of seconds).  Per-tree-shape programs and eager
+# reshape/gather/slice storms are therefore unaffordable; the only
+# affordable structure is a SMALL FIXED SET of programs, each compiled
+# once per process and reused by every tree of every size:
+#
+#   * all device Merkle work runs at the padded geometry
+#     (PAD_ROWS = 2^21 leaf rows); real sizes ride as RUNTIME scalars
+#     and index arithmetic (gathers), never as shapes;
+#   * leaves are left-aligned prefixes, so the real width-c tree is
+#     exactly the left-aligned subtree of the padded tree: real level i
+#     is the first c/2^i nodes of padded level i;
+#   * arrange+leaf program (per leaf arity A): rows[j] = [x[j + k*c]]
+#     gathered from the padded evaluation buffer with c a runtime
+#     scalar, then one Poseidon sponge — scan-based perm (~1K ops/body,
+#     3 lax.scan) beats the unrolled body (~2.8K ops) when the program
+#     is compiled once;
+#   * tree program: 2 unrolled levels + the constant-shape scan to the
+#     root; scan-tail levels are sliced to live prefixes in-program and
+#     pulled to the host (~8 MB) so deep siblings are numpy lookups;
+#   * open program (per A): jj = idx mod c; leaf rows + the 3 big-level
+#     siblings in ONE dispatch for a padded query batch (QPAD);
+#   * trees smaller than NATIVE_MIN_LEAVES skip the device entirely —
+#     the C++ engine (native/poseidon2.cpp) hashes them host-side.
+#
+# Sizes are env-tunable so the CPU test mesh can exercise the same code
+# path at toy geometry (tests/conftest.py sets EZT_PAD_LOG2).
+import os as _os
+
+PAD_ROWS = 1 << int(_os.environ.get("EZT_PAD_LOG2", "21"))
+SCAN_START = max(PAD_ROWS >> 2, 1)
+NATIVE_MIN_LEAVES = 1 << int(_os.environ.get("EZT_NATIVE_MIN_LOG2", "17"))
+QPAD = 128
+
+_LEAF_CACHE: dict = {}  # A -> jitted arrange+leaf program
+_TREE_PROG = None
+_OPEN_CACHE: dict = {}  # A -> jitted open program
 
 
-@_jax.jit
-def _commit_device_run(lo, hi):
-    """One jitted program: leaf digests + every tree level.
+def _unroll_perms() -> bool:
+    # Perm flavor by backend: the scan-based perm is ~3x fewer HLO ops
+    # (what the axon remote compiler charges for), but XLA CPU's compile
+    # time explodes on nested scans (the level-scan wrapping the perm's
+    # three round-scans — the round-4 fused tests measured 590 s compiles
+    # at toy sizes), so the CPU test mesh unrolls.
+    return _jax.default_backend() == "cpu"
 
-    Hybrid schedule: levels wider than UNROLL_MIN are unrolled with true
-    halving shapes — the work is the ~2n hashes the tree actually needs.
-    The tail levels use the constant-shape lax.scan trick (each step
-    hashes ALL n_tail/2 adjacent pairs of a fixed-size working array;
-    the live level occupies a halving prefix) — one hash_two body in the
-    trace for log2(n_tail) levels.  The round-2 all-scan version hashed
-    n/2 lanes at EVERY level, (log2 n)/2 × the true work — measured ~10x
-    excess at 2^21-leaf trees.  Module-level jit so the executable
-    caches per shape."""
-    digests = poseidon.hash_elements(GF(lo, hi))  # (n, 4)
-    big = []
-    cur = digests
-    while cur.lo.shape[0] > UNROLL_MIN:
-        even = GF(cur.lo[0::2], cur.hi[0::2])
-        odd = GF(cur.lo[1::2], cur.hi[1::2])
-        cur = poseidon.hash_two(even, odd)
-        big.append(cur)
-    n_tail = cur.lo.shape[0]
-    levels_n = n_tail.bit_length() - 1
 
-    def step(d, _):
-        even = GF(d.lo[0::2], d.hi[0::2])
-        odd = GF(d.lo[1::2], d.hi[1::2])
-        h = poseidon.hash_two(even, odd)  # (n_tail/2, 4)
-        d2 = GF(
-            _jnp.concatenate([h.lo, d.lo[n_tail // 2 :]], axis=0),
-            _jnp.concatenate([h.hi, d.hi[n_tail // 2 :]], axis=0),
+def _leaf_prog(A: int):
+    """evals buffer (2*PAD_ROWS,) + runtime c -> padded leaf digests.
+    Row j holds [x[j + k*c] for k < A]; rows >= c hash junk that the
+    left-aligned real tree never references."""
+    if A in _LEAF_CACHE:
+        return _LEAF_CACHE[A]
+
+    unroll = _unroll_perms()
+
+    def run(xlo, xhi, c):
+        j = _jnp.arange(PAD_ROWS, dtype=_jnp.int32)[:, None]
+        k = _jnp.arange(A, dtype=_jnp.int32)[None, :]
+        idx = (j + k * c) & (A * PAD_ROWS - 1)
+        rows = GF(xlo[idx], xhi[idx])  # (PAD_ROWS, A)
+        d = poseidon.hash_elements(rows, unroll=unroll)
+        return d.lo, d.hi
+
+    _LEAF_CACHE[A] = _jax.jit(_build := run)
+    return _LEAF_CACHE[A]
+
+
+def _tree_prog():
+    global _TREE_PROG
+    if _TREE_PROG is not None:
+        return _TREE_PROG
+
+    unroll = _unroll_perms()
+
+    def run(lo, hi):
+        cur = GF(lo, hi)
+        big = []
+        while cur.lo.shape[0] > SCAN_START:
+            even = GF(cur.lo[0::2], cur.hi[0::2])
+            odd = GF(cur.lo[1::2], cur.hi[1::2])
+            cur = poseidon.hash_two(even, odd, unroll=unroll)
+            big.append(cur)
+        n_tail = cur.lo.shape[0]
+        levels_n = n_tail.bit_length() - 1
+
+        def step(d, _):
+            even = GF(d.lo[0::2], d.hi[0::2])
+            odd = GF(d.lo[1::2], d.hi[1::2])
+            h = poseidon.hash_two(even, odd, unroll=unroll)
+            d2 = GF(
+                _jnp.concatenate([h.lo, d.lo[n_tail // 2 :]], axis=0),
+                _jnp.concatenate([h.hi, d.hi[n_tail // 2 :]], axis=0),
+            )
+            return d2, h
+
+        if levels_n:
+            _, ys = _jax.lax.scan(step, cur, None, length=levels_n)
+            tail = [
+                (ys.lo[i, : n_tail >> (i + 1)], ys.hi[i, : n_tail >> (i + 1)])
+                for i in range(levels_n)
+            ]
+        else:
+            tail = []
+        return [(l.lo, l.hi) for l in big], tail
+
+    _TREE_PROG = _jax.jit(run)
+    return _TREE_PROG
+
+
+def _open_prog(A: int):
+    """(idx (QPAD,), c, eval-buffer planes, digest+big-level planes) ->
+    leaf VALUE rows + the device-level sibling digests, one dispatch for
+    the whole padded query batch."""
+    if A in _OPEN_CACHE:
+        return _OPEN_CACHE[A]
+    n_dev = PAD_ROWS.bit_length() - SCAN_START.bit_length() + 1
+
+    def run(idx, c, xlo, xhi, *levels):
+        jj = _jnp.remainder(idx, c).astype(_jnp.int32)
+        k = _jnp.arange(A, dtype=_jnp.int32)[None, :]
+        vidx = (jj[:, None] + k * c) & (A * PAD_ROWS - 1)
+        rows = (xlo[vidx], xhi[vidx])  # (QPAD, A)
+        sibs = []
+        cur = jj
+        for i in range(n_dev):
+            llo, lhi = levels[2 * i], levels[2 * i + 1]
+            sib = cur ^ 1
+            sibs.append((llo[sib], lhi[sib]))
+            cur = cur >> 1
+        return rows, sibs
+
+    _OPEN_CACHE[A] = _jax.jit(run)
+    return _OPEN_CACHE[A]
+
+
+def _u64(lo, hi) -> np.ndarray:
+    return np.asarray(lo, dtype=np.uint64) | (
+        np.asarray(hi, dtype=np.uint64) << np.uint64(32)
+    )
+
+
+class PaddedMerkleTree:
+    """Device tree in padded form: leaf digests + big levels stay on
+    device (opened via the shared _open_prog), scan-tail levels live on
+    the host as combined-uint64 numpy arrays (real widths)."""
+
+    def __init__(self, c: int, A: int, ev_pad, dig_dev, big_dev, tails_np):
+        self.n = c  # real leaf count
+        self.A = A
+        self._ev = ev_pad  # (2*PAD_ROWS,) planes — leaf values
+        self._dev_levels = [dig_dev] + list(big_dev)  # padded widths PAD..SCAN
+        self._tails = tails_np  # [np uint64 (w, 4)], widths c>>n_dev .. 1
+
+    @property
+    def num_leaves(self) -> int:
+        return self.n
+
+    def root(self) -> list[int]:
+        if self._tails:
+            return [int(v) for v in self._tails[-1][0]]
+        # degenerate: real tree fits inside the device levels (c small)
+        raise AssertionError("padded tree requires c > device-level count")
+
+    def open_with_rows(self, indices):
+        """One dispatch: ([rows (q, A) uint64], [paths[q][level][4]])."""
+        idx = np.asarray(list(indices), dtype=np.int64)
+        q = len(idx)
+        assert q <= QPAD, "query batch exceeds QPAD"
+        pad_idx = np.zeros((QPAD,), dtype=np.int32)
+        pad_idx[:q] = idx % self.n
+        flat = []
+        for lo, hi in self._dev_levels:
+            flat += [lo, hi]
+        rows, sibs = _open_prog(self.A)(
+            _jnp.asarray(pad_idx), _jnp.int32(self.n),
+            self._ev[0], self._ev[1], *flat,
         )
-        return d2, h
+        (rlo, rhi), sibs_np = _jax.device_get((rows, sibs))
+        rows_u = _u64(rlo, rhi)[:q]
+        n_dev = len(self._dev_levels)
+        depth = self.n.bit_length() - 1
+        paths = []
+        for qi in range(q):
+            j = int(idx[qi]) % self.n
+            path = []
+            for li in range(depth):
+                if li < n_dev:
+                    lo, hi = sibs_np[li]
+                    path.append([
+                        int(np.uint64(lo[qi][d]) | (np.uint64(hi[qi][d]) << np.uint64(32)))
+                        for d in range(4)
+                    ])
+                else:
+                    lvl = self._tails[li - n_dev]
+                    path.append([int(v) for v in lvl[(j >> li) ^ 1]])
+            paths.append(path)
+        return rows_u, paths
 
-    if levels_n:
-        _, ys = _jax.lax.scan(step, cur, None, length=levels_n)
-    else:
-        ys = gl.zeros((0, n_tail // 2 if n_tail > 1 else 1, 4))
-    return digests, big, ys
+    def open(self, index: int):
+        return self.open_many([index])[0]
+
+    def open_many(self, indices):
+        return self.open_with_rows(indices)[1]
 
 
-def _commit_device_jit(leaves: GF):
-    n = leaves.lo.shape[0]
-    digests, big, ys = _commit_device_run(leaves.lo, leaves.hi)
-    levels = [digests] + list(big)
-    n_tail = levels[-1].lo.shape[0]
-    for k in range(n_tail.bit_length() - 1):
-        live = n_tail >> (k + 1)
-        levels.append(GF(ys.lo[k, :live], ys.hi[k, :live]))
-    return levels
+def _commit_native(leaves: GF) -> MerkleTree:
+    """C++ host commit for small trees: zero device work."""
+    from ..native import poseidon2 as nps
+
+    rows = gl.to_int(leaves)
+    if rows.ndim == 1:
+        rows = rows[:, None]
+    digests = nps.hash_elements(np.ascontiguousarray(rows))
+    levels = [gl.from_int_np(digests)]
+    for lv in nps.tree(digests):
+        levels.append(gl.from_int_np(lv))
+    return MerkleTree(levels=levels)
+
+
+def commit_evals_device(ev_pad, c: int, A: int) -> PaddedMerkleTree:
+    """Commit the (c, A)-arranged tree of a PADDED evaluation buffer
+    (planes of shape (2*PAD_ROWS,), live prefix c*A, left-aligned) — the
+    layered FRI prover's commit step, all shared fixed-shape programs."""
+    n_dev = PAD_ROWS.bit_length() - SCAN_START.bit_length() + 1
+    assert c * A <= 2 * PAD_ROWS and c >= (1 << n_dev)
+    dlo, dhi = _leaf_prog(A)(ev_pad[0], ev_pad[1], _jnp.int32(c))
+    big, tail_dev = _tree_prog()(dlo, dhi)
+    tails_all = _jax.device_get(tail_dev)
+    tails_np = []
+    width = c >> n_dev
+    for tlo, thi in tails_all:
+        if width < 1:
+            break
+        tails_np.append(_u64(np.asarray(tlo)[:width], np.asarray(thi)[:width]))
+        width >>= 1
+    return PaddedMerkleTree(
+        c=c, A=A, ev_pad=ev_pad, dig_dev=(dlo, dhi),
+        big_dev=big, tails_np=tails_np,
+    )
 
 
 def commit_leaves(leaves: GF, prefer_host: bool | None = None) -> MerkleTree:
     """Hash (N, k) field-element rows to digests, then build the tree.
 
-    prefer_host=None auto-selects: host bigints on CPU backends (test
-    mesh), one jitted device program on TPU."""
+    prefer_host=None auto-selects: vectorized numpy Poseidon on CPU
+    backends (test mesh), the C++ native engine on accelerator backends.
+    Generic row shapes never touch the device — on the remote-compile
+    TPU backend every new (N, k) shape would pay minutes of cold compile
+    (measured round 5); hot-path callers with eval-vector leaves use the
+    shared fixed-shape `commit_evals_device` pipeline instead."""
     import jax
 
     if prefer_host is None:
         prefer_host = jax.default_backend() == "cpu"
     if prefer_host:
         return _commit_leaves_host(leaves)
-    return MerkleTree(levels=_commit_device_jit(leaves))
+    try:
+        return _commit_native(leaves)
+    except Exception:
+        return _commit_leaves_host(leaves)
 
 
 def verify_path(

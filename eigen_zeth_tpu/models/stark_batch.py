@@ -315,6 +315,19 @@ def prove_chunks(
         longest = max(len(d) for d in datas)
         n = max(4, 1 << longest.bit_length())
     assert all(len(d) <= n - 1 for d in datas)
+    if mesh is None and n <= (1 << 14) and jax.default_backend() != "cpu":
+        # remote-compile TPU backend + node-profile chunk sizes: the
+        # batched device phases' cold compiles (~minutes/shape, round-5
+        # measurement) and per-element query transfers dwarf the work;
+        # stark.prove_chunk's numpy/C++ path proves a 2^14-domain chunk
+        # in ~0.3 s with ZERO device programs.  The mesh path keeps the
+        # batched device pipeline (chunk-DP sharding is the point there).
+        from . import stark as stark_m
+
+        return [
+            stark_m.prove_chunk(d, iv, params, n_rows=n)
+            for d, iv in zip(datas, ivs)
+        ]
     if mesh is not None:
         # arbitrary production chunk counts: pad K with dummy chunks up
         # to a multiple of the chunk axis, drop the extra proofs

@@ -392,11 +392,16 @@ def np_addmod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def np_submod(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Elementwise (a−b) mod P on canonical uint64 numpy arrays."""
-    a = np.asarray(a, dtype=np.uint64)
-    b = np.asarray(b, dtype=np.uint64)
-    d = a - b
-    return np.where(a < b, d + np.uint64(P), d)
+    """Elementwise (a−b) mod P on canonical uint64 numpy arrays.
+
+    Thread-safe w.r.t. overflow warnings (scoped errstate — np.seterr is
+    thread-local; the settlement prover calls this from worker threads
+    via the AIR verifier/recursion paths)."""
+    with _over_ignore():
+        a = np.asarray(a, dtype=np.uint64)
+        b = np.asarray(b, dtype=np.uint64)
+        d = a - b
+        return np.where(a < b, d + np.uint64(P), d)
 
 
 def np_ntt(values: np.ndarray, inverse: bool = False) -> np.ndarray:

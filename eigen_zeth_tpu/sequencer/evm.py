@@ -29,15 +29,19 @@ ripemd160, identity, modexp (EIP-198/2565), BN254 ecadd/ecmul
 (EIP-196), BN254 pairing check (EIP-197, backed by this framework's own
 ops/pairing.py — the L2 can verify its own Groth16 proofs on-chain),
 blake2f (EIP-152).
-Out of scope (documented simplifications): SELFDESTRUCT sweeps balance
-without deletion scheduling (EIP-6780-adjacent), BLOCKHASH returns 0 on
-the dev chain.
+Round 5 closes the previously documented gaps: SELFDESTRUCT follows
+EIP-6780 (sweep always; deletion scheduled at end of transaction only
+for accounts created in the SAME tx, revert-scoped), BLOCKHASH does the
+real last-256 canonical-hash lookup through BlockCtx.block_hash_fn, and
+EIP-4844 blob transactions execute (type-3 decode + blob-gas accounting
+in sequencer/chain.py; BLOBHASH serves the tx's versioned hashes and
+BLOBBASEFEE the excess-blob-gas-derived fee).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 from ..ops import keccak
 from ..utils import mpt, rlp
@@ -131,6 +135,11 @@ class BlockCtx:
     chain_id: int = 12345
     prevrandao: int = 0
     basefee: int = 0
+    # EIP-4844 blob fee market: blob base fee derived from the parent's
+    # excess_blob_gas (chain.py computes it; spec minimum 1)
+    blob_basefee: int = 1
+    # last-256 block hash lookup (BLOCKHASH); None -> dev-chain 0
+    block_hash_fn: Optional[Callable[[int], int]] = None
 
 
 @dataclass
@@ -193,6 +202,23 @@ G_ACCESSLIST_KEY = 1_900
 # EIP-2028 calldata
 G_TXDATA_ZERO = 4
 G_TXDATA_NONZERO = 16
+# EIP-4844 blob gas market
+GAS_PER_BLOB = 1 << 17
+TARGET_BLOB_GAS_PER_BLOCK = 3 * GAS_PER_BLOB
+MAX_BLOB_GAS_PER_BLOCK = 6 * GAS_PER_BLOB
+MIN_BLOB_BASE_FEE = 1
+BLOB_BASE_FEE_UPDATE_FRACTION = 3_338_477
+
+
+def blob_base_fee(excess_blob_gas: int) -> int:
+    """EIP-4844 fake_exponential(MIN, excess, FRACTION): the block's
+    blob base fee from its excess blob gas."""
+    i, output, acc = 1, 0, MIN_BLOB_BASE_FEE * BLOB_BASE_FEE_UPDATE_FRACTION
+    while acc > 0:
+        output += acc
+        acc = acc * excess_blob_gas // (BLOB_BASE_FEE_UPDATE_FRACTION * i)
+        i += 1
+    return output // BLOB_BASE_FEE_UPDATE_FRACTION
 
 # static per-opcode base cost; dynamic parts (memory, access, copies,
 # storage) are charged at the op sites below
@@ -253,6 +279,12 @@ class EVM:
         self._warm_slots: set = set()
         self._orig_storage: Dict[tuple, int] = {}
         self._refund: int = 0
+        # EIP-6780: SELFDESTRUCT deletes only accounts created in the
+        # SAME transaction; both sets are revert-scoped with the frame
+        self._created_this_tx: set = set()
+        self._selfdestructed: set = set()
+        # EIP-4844: the executing tx's blob versioned hashes (BLOBHASH)
+        self._blob_hashes: List[int] = []
         # geth-callTracer-shaped call tree, recorded per transaction
         # (serves eigenrpc_traceTransaction — the reference STUBS that
         # method, custom_reth/eigen.rs:70-74; here it works)
@@ -292,6 +324,8 @@ class EVM:
             set(self._warm_addrs),
             set(self._warm_slots),
             self._refund,
+            set(self._created_this_tx),
+            set(self._selfdestructed),
         )
 
     def _restore(self, snap) -> None:
@@ -301,6 +335,8 @@ class EVM:
         self._warm_addrs = snap[2]
         self._warm_slots = snap[3]
         self._refund = snap[4]
+        self._created_this_tx = snap[5]
+        self._selfdestructed = snap[6]
 
     # -- EIP-2929 access accounting ---------------------------------------------
 
@@ -366,6 +402,24 @@ class EVM:
                         "error": "gasprice-below-basefee"}
         tip = gas_price - basefee
 
+        # --- EIP-4844 blob gas: versioned-hash validity, blob fee cap vs
+        # the block's blob base fee; the blob fee is charged at the BLOCK
+        # rate and burned (never refunded, never to the coinbase)
+        blob_hashes = [_hx(h) for h in (tx.get("blobVersionedHashes") or [])]
+        blob_gas = len(blob_hashes) * GAS_PER_BLOB
+        max_blob_fee = 0
+        if blob_hashes:
+            if is_create:
+                return {"status": 0, "gasUsed": 0, "logs": [],
+                        "error": "blob-tx-create"}
+            if any((h >> 248) != 0x01 for h in blob_hashes):
+                return {"status": 0, "gasUsed": 0, "logs": [],
+                        "error": "blob-hash-version"}
+            max_blob_fee = _hx(tx.get("maxFeePerBlobGas", 0))
+            if max_blob_fee < self.ctx.blob_basefee:
+                return {"status": 0, "gasUsed": 0, "logs": [],
+                        "error": "blob-fee-cap-below-basefee"}
+
         # --- intrinsic gas: 21000 + EIP-2028 calldata + EIP-2930 access
         # list + CREATE surcharge with EIP-3860 initcode words
         zeros = data.count(0)
@@ -393,7 +447,7 @@ class EVM:
                     "logs": [],
                     "error": "nonce-stale" if want < s_acc.nonce else "nonce-future",
                 }
-        upfront = value + gas_limit * gas_price
+        upfront = value + gas_limit * gas_price + blob_gas * max_blob_fee
         if s_acc.balance < upfront or gas_limit < intrinsic:
             return {"status": 0, "gasUsed": 0, "logs": [], "error": "prefund"}
         self.transient = {}  # EIP-1153: cleared at transaction start
@@ -403,6 +457,11 @@ class EVM:
         self._warm_slots = set()
         self._orig_storage = {}
         self._refund = 0
+        self._created_this_tx = set()
+        self._selfdestructed = set()
+        self._blob_hashes = [
+            _hx(h) for h in (tx.get("blobVersionedHashes") or [])
+        ]
         if not is_create:
             self._warm_addrs.add(to.lower())
         for ent in access_list:
@@ -415,6 +474,10 @@ class EVM:
         self._trace_stack = []
         self._trace_root = None
         s_acc.balance -= gas_limit * gas_price
+        # EIP-4844: burn the blob fee up front at the block's blob base
+        # fee; it is NOT refundable and not part of the revert re-apply
+        # (the revert path restores the snapshot taken AFTER this charge)
+        s_acc.balance -= blob_gas * self.ctx.blob_basefee
         s_acc.nonce += 1
         gas = gas_limit - intrinsic
         contract_address = None
@@ -435,6 +498,7 @@ class EVM:
             s_acc = self.state.touch(sender)
             s_acc.nonce += 1
             s_acc.balance -= gas_limit * gas_price
+            s_acc.balance -= blob_gas * self.ctx.blob_basefee  # EIP-4844 burn
             # REVERT returns the remaining gas; a halt consumes it all
             gas = e.gas_left if isinstance(e, _Revert) else 0
             status = 0
@@ -443,19 +507,31 @@ class EVM:
             gas_used -= min(max(self._refund, 0),
                             gas_used // MAX_REFUND_QUOTIENT)
             gas = gas_limit - gas_used
+        # EIP-6780: accounts self-destructed in the tx that created them
+        # are deleted at end of transaction (code, storage, nonce, and
+        # any balance received after the sweep are gone)
+        if status:
+            for a in self._selfdestructed:
+                self.state.accounts.pop(a.lower(), None)
+        self._selfdestructed = set()
+        self._created_this_tx = set()
         # refund unused gas at the effective price; the coinbase receives
         # only the PRIORITY portion — the base-fee part is burned
         s_acc = self.state.touch(sender)
         s_acc.balance += gas * gas_price
         if tip:
             self.state.touch(self.ctx.coinbase).balance += gas_used * tip
-        return {
+        out = {
             "status": status,
             "gasUsed": gas_used,
             "logs": self.logs[logs_mark:],
             "contractAddress": contract_address,
             "trace": self._trace_root,
         }
+        if blob_gas:
+            out["blobGasUsed"] = blob_gas
+            out["blobGasPrice"] = self.ctx.blob_basefee
+        return out
 
     def call_view(self, tx: dict) -> bytes:
         """eth_call semantics: run against current state, discard every
@@ -554,6 +630,7 @@ class EVM:
         if depth > 0:
             self.state.touch(sender).nonce += 1
         self._warm_addrs.add(addr)  # EIP-2929: created address is warm
+        self._created_this_tx.add(addr)  # EIP-6780 same-tx creation set
         self._transfer(sender, addr, value)
         code, gas = self._run(addr, sender, value, init, b"", gas, depth,
                               init_code=True, origin=origin)
@@ -749,7 +826,14 @@ class EVM:
                 use(self._access_account(a))
                 push(int.from_bytes(
                     keccak.keccak256_host(self.state.get(a).code), "big"))
-            elif op == 0x40: push(0)  # BLOCKHASH (dev chain)
+            elif op == 0x40:  # BLOCKHASH: last-256 canonical lookup
+                bn = pop()
+                h = 0
+                if (self.ctx.block_hash_fn is not None
+                        and bn < self.ctx.number
+                        and self.ctx.number - bn <= 256):
+                    h = int(self.ctx.block_hash_fn(bn) or 0)
+                push(h)
             elif op == 0x41: push(int(self.ctx.coinbase, 16))
             elif op == 0x42: push(self.ctx.timestamp)
             elif op == 0x43: push(self.ctx.number)
@@ -758,8 +842,10 @@ class EVM:
             elif op == 0x46: push(self.ctx.chain_id)
             elif op == 0x47: push(acc.balance)
             elif op == 0x48: push(self.ctx.basefee)
-            elif op == 0x49: pop(); push(0)  # BLOBHASH: no blob txs on L2
-            elif op == 0x4A: push(1)  # BLOBBASEFEE (spec minimum)
+            elif op == 0x49:  # BLOBHASH (EIP-4844): tx versioned hashes
+                i = pop()
+                push(self._blob_hashes[i] if i < len(self._blob_hashes) else 0)
+            elif op == 0x4A: push(self.ctx.blob_basefee)  # BLOBBASEFEE
             elif op == 0x50: pop()
             elif op == 0x51:  # MLOAD
                 off = pop(); mexpand(off, 32)
@@ -987,6 +1073,11 @@ class EVM:
                 use(cost)
                 self.state.touch(ben).balance += acc.balance
                 acc.balance = 0
+                # EIP-6780: deletion ONLY if this account was created in
+                # the same transaction (scheduled; applied at tx end).
+                # Self-beneficiary then burns the swept balance with it.
+                if self_addr in self._created_this_tx:
+                    self._selfdestructed.add(self_addr)
                 return (b"", gas_left)
             else:  # INVALID / unsupported
                 raise _Halt()

@@ -84,6 +84,45 @@ def decode_raw_tx(raw: bytes) -> dict:
     raw = bytes(raw)
     if not raw:
         raise ValueError("empty raw tx")
+    if raw[0] == 0x03:  # EIP-4844 blob transaction
+        items = rlp.decode(raw[1:])
+        (cid, nonce, prio, max_fee, gas, to, value, data, acl,
+         max_blob_fee, blob_hashes, yp, r, s) = items
+        chain_id = rlp.decode_int(cid)
+        sighash = keccak.keccak256_host(b"\x03" + rlp.encode(items[:-3]))
+        sender = secp256k1.recover_address(
+            sighash, rlp.decode_int(yp), rlp.decode_int(r), rlp.decode_int(s)
+        )
+        if sender is None:
+            raise ValueError("invalid signature: sender unrecoverable")
+        if not to:
+            raise ValueError("blob tx must have a 'to' address")
+        tx = {
+            "hash": "0x" + keccak.keccak256_host(raw).hex(),
+            "type": "0x3",
+            "from": sender,
+            "nonce": _hx(nonce),
+            "maxFeePerGas": hex(rlp.decode_int(max_fee)),
+            "maxPriorityFeePerGas": hex(rlp.decode_int(prio)),
+            "maxFeePerBlobGas": hex(rlp.decode_int(max_blob_fee)),
+            "blobVersionedHashes": ["0x" + h.hex() for h in blob_hashes],
+            "accessList": [
+                {
+                    "address": "0x" + a.hex(),
+                    "storageKeys": ["0x" + k.hex() for k in keys],
+                }
+                for a, keys in (acl or [])
+            ],
+            "gas": _hx(gas),
+            "to": "0x" + to.hex(),
+            "value": _hx(value),
+            "input": "0x" + data.hex(),
+            "v": hex(27 + rlp.decode_int(yp)),
+            "r": _hx(r),
+            "s": _hx(s),
+            "chainId": hex(chain_id),
+        }
+        return tx
     if raw[0] in (0x01, 0x02):  # typed envelope
         tx_type = raw[0]
         items = rlp.decode(raw[1:])

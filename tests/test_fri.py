@@ -111,6 +111,7 @@ def test_zero_layer_fri_roundtrip():
     assert not ok2
 
 
+@pytest.mark.slow  # fused XLA CPU compile is minutes even at toy sizes
 def test_fused_prover_matches_host_prover():
     """models/fri_fused.py must produce byte-identical proofs to the
     host-orchestrated path and leave the transcript in the same state."""
@@ -125,6 +126,7 @@ def test_fused_prover_matches_host_prover():
     assert ok
 
 
+@pytest.mark.slow
 def test_fused_prover_mid_transcript():
     """Fused prove must splice correctly into a transcript with prior
     absorbs/challenges (the STARK passes a mid-state transcript)."""
@@ -185,6 +187,7 @@ def test_arity8_rejects_wrong_arity_params():
     assert not fri.fri_verify(out2.proof, Transcript("x"), ARITY8)[0]
 
 
+@pytest.mark.slow
 def test_arity8_fused_matches_host():
     _, evals = _commit_poly(1 << 7)  # domain 2^9: schedule [2, 8] (XLA CPU
     # compile of fused programs is minutes-per-tree; keep this minimal)

@@ -220,8 +220,17 @@ class Air:
         self._per_lde_cache = None
         self._per_interp_cache = None
 
-    def fri_params(self, num_queries: int = 30) -> fri.FriParams:
-        return fri.FriParams(blowup=4, num_queries=num_queries, terminal_size=64)
+    def fri_params(self, num_queries: int = 30, grind_bits: int = 0) -> fri.FriParams:
+        # FRI degree-bound ratio: the composition has degree < 2n and is
+        # committed on the ext_blowup·n coset, so the honest ratio is
+        # ext_blowup/2 (= 4 at the default B=8; the wrap profile raises
+        # B to trade prover LDE size for conjectured bits/query)
+        return fri.FriParams(
+            blowup=self.ext_blowup // 2,
+            num_queries=num_queries,
+            terminal_size=64,
+            grind_bits=grind_bits,
+        )
 
     # -- circuit-constant caches ---------------------------------------------
 
@@ -344,13 +353,12 @@ def _np_batch_inv(vals: np.ndarray) -> np.ndarray:
     return out
 
 
-def _comp_aux(air: Air, shift: int, b_rows: tuple) -> tuple:
-    """Host-precomputed coset denominators/factors for the composition.
-
-    These MUST enter the jit as arguments, not be computed inside it from
-    iota: XLA's constant folder would evaluate the whole powers ladder +
-    batch inversion in its slow HLO interpreter at compile time (observed
-    >10 min compiles)."""
+def _comp_aux_np(air: Air, shift: int, b_rows: tuple) -> tuple:
+    """Host-precomputed coset denominators/factors for the composition
+    (numpy).  These MUST enter any jit as arguments, not be computed
+    inside it from iota: XLA's constant folder would evaluate the whole
+    powers ladder + batch inversion in its slow HLO interpreter at
+    compile time (observed >10 min compiles)."""
     key = ("aux", shift, b_rows)
     cache = air.__dict__.setdefault("_jit_cache", {})
     if key in cache:
@@ -401,6 +409,18 @@ def _comp_aux(air: Air, shift: int, b_rows: tuple) -> tuple:
         b_inv_np[r] = gl.np_mulmod(
             gl.np_mulmod(prefix_excl, suffix_excl), total_inv
         )
+    out = (zh_inv, last_fac, b_inv_np)
+    cache[key] = out
+    return out
+
+
+def _comp_aux(air: Air, shift: int, b_rows: tuple) -> tuple:
+    """Device-resident view of _comp_aux_np (jit inputs, not literals)."""
+    key = ("aux-dev", shift, b_rows)
+    cache = air.__dict__.setdefault("_jit_cache", {})
+    if key in cache:
+        return cache[key]
+    zh_inv, last_fac, b_inv_np = _comp_aux_np(air, shift, b_rows)
     out = (
         gl.from_int(zh_inv),
         gl.from_int(last_fac),
@@ -408,6 +428,179 @@ def _comp_aux(air: Air, shift: int, b_rows: tuple) -> tuple:
     )
     cache[key] = out
     return out
+
+
+def _unavailable_native() -> bool:
+    try:
+        from ..native import poseidon2 as nps
+
+        return not nps.available()
+    except Exception:
+        return True
+
+
+def _native_tree(rows_np: np.ndarray):
+    from ..native import poseidon2 as nps
+
+    digests = nps.hash_elements(np.ascontiguousarray(rows_np))
+    levels = [gl.from_int_np(digests)]
+    for lv in nps.tree(digests):
+        levels.append(gl.from_int_np(lv))
+    return merkle.MerkleTree(levels=levels)
+
+
+def _np_lde_cols(cols: np.ndarray, B: int, shift: int) -> np.ndarray:
+    """Numpy INTT+LDE of (K, n) rows -> (K, n*B) coset evaluations —
+    bit-identical to the jitted nttm.lde(nttm.intt_auto(x), B, shift)."""
+    cols = np.atleast_2d(np.asarray(cols, dtype=np.uint64))
+    K, n = cols.shape
+    m = n * B
+    sp = gl.powers_np(shift, n)
+    out = np.empty((K, m), dtype=np.uint64)
+    for k in range(K):
+        coeffs = gl.np_intt(cols[k])
+        padded = np.zeros(m, dtype=np.uint64)
+        padded[:n] = gl.np_mulmod(coeffs, sp)
+        out[k] = gl.np_ntt(padded)
+    return out
+
+
+def _periodic_lde_np(air: Air, shift: int) -> list:
+    """Numpy twin of Air.periodic_lde (per-pattern (m,) coset values)."""
+    key = ("per-np", shift)
+    cache = air.__dict__.setdefault("_jit_cache", {})
+    if key not in cache:
+        tiled = np.stack(
+            [
+                np.tile(np.asarray(p, dtype=np.uint64), air.n // len(p))
+                for p in air.periodic
+            ]
+        ) if air.periodic else np.zeros((0, air.n), dtype=np.uint64)
+        lde = _np_lde_cols(tiled, air.ext_blowup, shift)
+        cache[key] = [lde[k] for k in range(lde.shape[0])]
+    return cache[key]
+
+
+class _NpVecAlg:
+    """DevAlg's exact semantics on numpy uint64 over the full (m,)
+    domain (round 5): constraint families are (k, m) arrays with the
+    domain on the LAST axis so numpy broadcasting matches the device
+    layout.  HostAlg stays the scalar (query-point) backend."""
+
+    batched = True
+
+    def __init__(self, m: int):
+        self.m = m
+
+    def c(self, v: int):
+        return np.uint64(v % gl.P)
+
+    def full(self, v: int):
+        return np.full((self.m,), v % gl.P, dtype=np.uint64)
+
+    def add(self, a, b):
+        return gl.np_addmod(a, b)
+
+    def sub(self, a, b):
+        return gl.np_submod(a, b)
+
+    def mul(self, a, b):
+        return gl.np_mulmod(a, b)
+
+    def stack(self, parts):
+        return np.stack([np.asarray(p, dtype=np.uint64) for p in parts])
+
+    def concat0(self, parts):
+        def as2d(x):
+            x = np.asarray(x, dtype=np.uint64)
+            return x if x.ndim > 1 else x[None]
+
+        return np.concatenate([as2d(p) for p in parts], axis=0)
+
+    def zeros(self, k):
+        return np.zeros((k, self.m), dtype=np.uint64)
+
+    def get0(self, x, i):
+        return x[i]
+
+    def slice0(self, x, a, b):
+        return x[a:b]
+
+    def sum0(self, x):
+        acc = np.zeros(x.shape[1:], dtype=np.uint64)
+        for i in range(x.shape[0]):
+            acc = gl.np_addmod(acc, x[i])
+        return acc
+
+    def const_matrix(self, rows):
+        return np.asarray(rows, dtype=np.uint64)
+
+    def scale_rows(self, vec, x):
+        vec = np.asarray(vec, dtype=np.uint64)
+        return gl.np_mulmod(vec[:, None], x)
+
+    def matvec(self, mat, x):
+        prod = gl.np_mulmod(mat[:, :, None], np.asarray(x, dtype=np.uint64)[None])
+        acc = np.zeros((mat.shape[0], x.shape[-1]), dtype=np.uint64)
+        for j in range(mat.shape[1]):
+            acc = gl.np_addmod(acc, prod[:, j])
+        return acc
+
+
+def _composition_np(air: Air, shift: int, b_struct: tuple):
+    """Numpy twin of _composition_jit: the same constraint families
+    evaluated through HostAlg over full-domain (m,) arrays.  ZERO XLA
+    compiles — the default on CPU backends (where XLA compile time on
+    the AIR graphs dominated the round-4 test suite) and for node-scale
+    aggregation on the remote-compile TPU backend."""
+    key = ("comp-np", shift, b_struct)
+    cache = air.__dict__.setdefault("_jit_cache", {})
+    if key in cache:
+        return cache[key]
+    n, B, C = air.n, air.ext_blowup, air.n_cols
+    m = n * B
+    b_rows = tuple(sorted({r for _, r in b_struct}))
+    zh_inv, last_fac, b_inv = _comp_aux_np(air, shift, b_rows)
+    per = _periodic_lde_np(air, shift)
+    offs = []
+    off = 0
+    for c in air.constraints:
+        offs.append(off)
+        off += c.arity
+    n_con_alphas = off
+    alg = _NpVecAlg(m)
+
+    def run(lde_np: np.ndarray, alphas: list, bvals: list) -> np.ndarray:
+        cur = [lde_np[c] for c in range(C)]
+        nxt = [np.roll(v, -B) for v in cur]
+        comp = np.zeros(m, dtype=np.uint64)
+        for c, off in zip(air.constraints, offs):
+            v = c.fn(alg, cur, nxt, per)
+            if c.domain == "transition":
+                q = gl.np_mulmod(gl.np_mulmod(v, last_fac), zh_inv)
+            elif c.domain == "all":
+                q = gl.np_mulmod(v, zh_inv)
+            else:
+                raise ValueError(f"unknown constraint domain {c.domain!r}")
+            if c.arity == 1:
+                comp = gl.np_addmod(
+                    comp, gl.np_mulmod(q, np.uint64(alphas[off]))
+                )
+            else:
+                a_k = np.asarray(
+                    alphas[off : off + c.arity], dtype=np.uint64
+                )[:, None]
+                comp = gl.np_addmod(comp, alg.sum0(gl.np_mulmod(q, a_k)))
+        for j, (col, row) in enumerate(b_struct):
+            v = gl.np_submod(cur[col], np.uint64(bvals[j] % gl.P))
+            q = gl.np_mulmod(v, b_inv[row])
+            comp = gl.np_addmod(
+                comp, gl.np_mulmod(q, np.uint64(alphas[n_con_alphas + j]))
+            )
+        return comp
+
+    cache[key] = run
+    return run
 
 
 GROUP_SIZE = 3  # constraints per composition sub-graph (XLA CPU compile
@@ -515,21 +708,37 @@ def prove(
     shift: int = gl.MULTIPLICATIVE_GENERATOR,
 ) -> dict:
     """Produce an AIR STARK proof for a (n, n_cols) trace."""
+    import os as _os
+
+    import jax as _jax
+
     n, C = trace_rows.lo.shape
     assert n == air.n and C == air.n_cols
     B = air.ext_blowup
     m = n * B
+    # numpy mode (round 5): the full prover pipeline in numpy + the C++
+    # hasher — ZERO XLA compiles.  Default on CPU backends (the jitted
+    # AIR graphs' XLA CPU compiles dominated the round-4 suite) and for
+    # node-scale traces on the remote-compile TPU backend (~30 ms/HLO-op
+    # cold, docs/BENCH_NOTES.md).  EZT_FORCE_DEV_AIR pins the jitted
+    # path (device-path tests); proofs are byte-identical (tested).
+    np_mode = not _os.environ.get("EZT_FORCE_DEV_AIR") and (
+        _jax.default_backend() == "cpu" or m <= (1 << 17)
+    )
 
-    # --- trace interpolation + LDE + commit (one batched, jitted NTT) -------
-    lde_fn = _lde_jit(air, shift)
-    lde_cols = lde_fn(_columns(trace_rows))  # (C, m)
-    rows = GF(lde_cols.lo.T, lde_cols.hi.T)  # (m, C)
-    # prefer_host auto-selects: device trees on TPU, host bigints on the
-    # CPU test backend — forcing the device path here made every AIR
-    # shape pay a ~1-5 min XLA CPU compile of its Poseidon tree module
-    # (the round-3 suite blowup; Poseidon2's host perm is ~30x cheaper
-    # than round 2's, so host commits are fast where it matters)
-    tree = merkle.commit_leaves(rows)
+    if np_mode:
+        cols_np = np.atleast_2d(gl.to_int(_columns(trace_rows)))
+        lde_np = _np_lde_cols(cols_np, B, shift)  # (C, m)
+        rows_np = lde_np.T  # (m, C)
+        tree = merkle._commit_leaves_host(gl.from_int_np(rows_np)) \
+            if _unavailable_native() else _native_tree(rows_np)
+    else:
+        lde_fn = _lde_jit(air, shift)
+        lde_cols = lde_fn(_columns(trace_rows))  # (C, m)
+        rows = GF(lde_cols.lo.T, lde_cols.hi.T)  # (m, C)
+        # prefer_host auto-selects: native trees on accelerators, numpy
+        # on the CPU test backend
+        tree = merkle.commit_leaves(rows)
 
     transcript = Transcript(f"ezt-air/{air.name}")
     transcript.absorb("public", [len(publics)] + [int(v) % gl.P for v in publics])
@@ -540,14 +749,18 @@ def prove(
     n_alphas = sum(c.arity for c in air.constraints) + len(boundaries)
     alphas = transcript.challenges("alpha", n_alphas)
 
-    # --- constraint composition (one jitted graph, cached per air/shape) ----
+    # --- constraint composition --------------------------------------------
     b_struct = tuple((b.col, b.row) for b in boundaries)
-    comp_fn = _composition_jit(air, shift, b_struct)
-    alphas_gf = gl.from_int(np.array(alphas, dtype=np.uint64))
-    bvals_gf = gl.from_int(
-        np.array([b.value % gl.P for b in boundaries], dtype=np.uint64)
-    )
-    comp = comp_fn(lde_cols, alphas_gf, bvals_gf)
+    bvals = [b.value % gl.P for b in boundaries]
+    if np_mode:
+        comp = gl.from_int_np(
+            _composition_np(air, shift, b_struct)(lde_np, alphas, bvals)
+        )
+    else:
+        comp_fn = _composition_jit(air, shift, b_struct)
+        alphas_gf = gl.from_int(np.array(alphas, dtype=np.uint64))
+        bvals_gf = gl.from_int(np.array(bvals, dtype=np.uint64))
+        comp = comp_fn(lde_cols, alphas_gf, bvals_gf)
 
     # --- FRI + trace openings ------------------------------------------------
     fri_out = fri.fri_prove(comp, shift, transcript, air.fri_params(num_queries))
@@ -556,7 +769,10 @@ def prove(
     for jj in fri_out.layer0_indices:
         all_idx += [jj, (jj + B) % m, jj + m // 2, (jj + m // 2 + B) % m]
     idx_arr = np.asarray(all_idx, dtype=np.int64)
-    row_vals = np.atleast_2d(gl.to_int(GF(rows.lo[idx_arr], rows.hi[idx_arr])))
+    if np_mode:
+        row_vals = np.atleast_2d(rows_np[idx_arr])
+    else:
+        row_vals = np.atleast_2d(gl.to_int(GF(rows.lo[idx_arr], rows.hi[idx_arr])))
     all_paths = tree.open_many(all_idx)
     openings = []
     for q in range(len(fri_out.layer0_indices)):

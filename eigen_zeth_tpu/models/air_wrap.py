@@ -43,7 +43,8 @@ from ..ops import poseidon_fr as pfr
 from ..ops.goldilocks import GF
 from . import fri as fri_m
 from . import merkle_fr
-from .air import Air, Boundary, HostAlg, _composition_jit, _lde_jit, _columns
+from .air import (Air, Boundary, HostAlg, _composition_jit, _composition_np,
+                  _lde_jit, _np_lde_cols, _columns)
 from .transcript_fr import TranscriptFr
 
 INV2 = fri_m.INV2
@@ -129,6 +130,10 @@ def _fri_prove_fr(
     final_coeffs = final_coeffs[:keep]
     transcript.absorb_packed_gl("fri-final", final_coeffs)
 
+    grind_nonce = None
+    if params.grind_bits:
+        grind_nonce = transcript.grind(params.grind_bits)
+
     indices = transcript.challenge_indices(
         "fri-query", params.num_queries, m // 2
     )
@@ -165,6 +170,8 @@ def _fri_prove_fr(
         "final_coeffs": [str(c) for c in final_coeffs],
         "queries": queries,
     }
+    if grind_nonce is not None:
+        proof["grind_nonce"] = str(grind_nonce)
     return proof, indices
 
 
@@ -194,6 +201,10 @@ def _fri_verify_fr(
     if len(final_coeffs) != size // params.blowup:
         return False, []
     transcript.absorb_packed_gl("fri-final", final_coeffs)
+    if params.grind_bits:
+        nonce = int(proof.get("grind_nonce", -1))
+        if nonce < 0 or not transcript.grind_check(nonce, params.grind_bits):
+            return False, []
     indices = transcript.challenge_indices(
         "fri-query", params.num_queries, m // 2
     )
@@ -277,16 +288,35 @@ def prove_wrap(
     boundaries: List[Boundary],
     num_queries: int = 4,
     shift: int = gl.MULTIPLICATIVE_GENERATOR,
+    grind_bits: int = 0,
 ) -> dict:
-    """Wrap-profile STARK proof (Fr commitments + Fr transcript)."""
+    """Wrap-profile STARK proof (Fr commitments + Fr transcript).
+
+    grind_bits adds EthSTARK-style proof-of-work before the query draw
+    (~2^g host permutations for the prover, one conjectured soundness
+    bit each for the verifier)."""
     n, C = trace_rows.lo.shape
     assert n == air.n and C == air.n_cols
     B = air.ext_blowup
     m = n * B
 
-    lde_fn = _lde_jit(air, shift)
-    lde_cols = lde_fn(_columns(trace_rows))  # (C, m)
-    rows = GF(lde_cols.lo.T, lde_cols.hi.T)  # (m, C)
+    import os as _os
+
+    import jax as _jax
+
+    np_mode = not _os.environ.get("EZT_FORCE_DEV_AIR") and (
+        _jax.default_backend() == "cpu" or m <= (1 << 17)
+    )
+    if np_mode:
+        # full numpy pipeline (round 5): zero XLA compiles — see air.prove
+        cols_np = np.atleast_2d(gl.to_int(_columns(trace_rows)))
+        lde_np = _np_lde_cols(cols_np, B, shift)  # (C, m)
+        rows_np = lde_np.T
+        rows = gl.from_int_np(rows_np)
+    else:
+        lde_fn = _lde_jit(air, shift)
+        lde_cols = lde_fn(_columns(trace_rows))  # (C, m)
+        rows = GF(lde_cols.lo.T, lde_cols.hi.T)  # (m, C)
     tree = merkle_fr.commit_rows_gl(rows)
     c_root = constants_root(air, shift)
 
@@ -301,22 +331,32 @@ def prove_wrap(
     alphas = alpha_powers(alpha, n_alphas_of(air, boundaries))
 
     b_struct = tuple((b.col, b.row) for b in boundaries)
-    comp_fn = _composition_jit(air, shift, b_struct)
-    alphas_gf = gl.from_int(np.array(alphas, dtype=np.uint64))
-    bvals_gf = gl.from_int(
-        np.array([b.value % gl.P for b in boundaries], dtype=np.uint64)
-    )
-    comp = comp_fn(lde_cols, alphas_gf, bvals_gf)
+    if np_mode:
+        comp = gl.from_int_np(
+            _composition_np(air, shift, b_struct)(
+                lde_np, alphas, [b.value % gl.P for b in boundaries]
+            )
+        )
+    else:
+        comp_fn = _composition_jit(air, shift, b_struct)
+        alphas_gf = gl.from_int(np.array(alphas, dtype=np.uint64))
+        bvals_gf = gl.from_int(
+            np.array([b.value % gl.P for b in boundaries], dtype=np.uint64)
+        )
+        comp = comp_fn(lde_cols, alphas_gf, bvals_gf)
 
     fri_proof, indices = _fri_prove_fr(
-        comp, shift, t, air.fri_params(num_queries)
+        comp, shift, t, air.fri_params(num_queries, grind_bits)
     )
 
     all_idx = []
     for jj in indices:
         all_idx += [jj, (jj + B) % m, jj + m // 2, (jj + m // 2 + B) % m]
     idx_arr = np.asarray(all_idx, dtype=np.int64)
-    row_vals = np.atleast_2d(gl.to_int(GF(rows.lo[idx_arr], rows.hi[idx_arr])))
+    if np_mode:
+        row_vals = np.atleast_2d(rows_np[idx_arr])
+    else:
+        row_vals = np.atleast_2d(gl.to_int(GF(rows.lo[idx_arr], rows.hi[idx_arr])))
     all_paths = tree.open_many(all_idx)
     openings = []
     for q in range(len(indices)):
@@ -357,6 +397,7 @@ def prove_wrap(
         "ext_blowup": B,
         "shift": str(shift),
         "num_queries": num_queries,
+        "grind_bits": grind_bits,
         "publics": [str(int(v) % gl.P) for v in publics],
         "boundaries": [[b.col, b.row, str(b.value % gl.P)] for b in boundaries],
         "const_root": str(c_root),
@@ -376,13 +417,19 @@ def verify_wrap(
     proof: dict,
     publics: List[int],
     boundaries: List[Boundary],
+    expected_queries: "int | None" = None,
+    expected_grind_bits: "int | None" = None,
 ) -> bool:
+    """expected_queries/expected_grind_bits pin the wrap STARK's OWN
+    soundness parameters (the protocol's, not the proof's claim —
+    otherwise a forger could present a 1-query wrap)."""
     try:
         n = int(proof["n"])
         C = int(proof["n_cols"])
         B = int(proof["ext_blowup"])
         shift = int(proof["shift"])
         num_queries = int(proof["num_queries"])
+        grind_bits = int(proof.get("grind_bits", 0))
         root = int(proof["trace_root"])
         c_root = int(proof["const_root"])
         p_pub = [int(v) for v in proof["publics"]]
@@ -390,6 +437,10 @@ def verify_wrap(
     except (KeyError, ValueError, TypeError):
         return False
     if n != air.n or C != air.n_cols or B != air.ext_blowup:
+        return False
+    if expected_queries is not None and num_queries != expected_queries:
+        return False
+    if expected_grind_bits is not None and grind_bits != expected_grind_bits:
         return False
     if p_pub != [int(v) % gl.P for v in publics]:
         return False
@@ -410,7 +461,9 @@ def verify_wrap(
     n_con_alphas = sum(c.arity for c in air.constraints)
     alphas = alpha_powers(alpha, n_con_alphas + len(boundaries))
 
-    ok, layer0 = _fri_verify_fr(proof["fri"], t, air.fri_params(num_queries))
+    ok, layer0 = _fri_verify_fr(
+        proof["fri"], t, air.fri_params(num_queries, grind_bits)
+    )
     if not ok or int(proof["fri"]["domain_size"]) != m:
         return False
     if len(proof["trace_openings"]) != len(layer0):

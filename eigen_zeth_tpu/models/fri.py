@@ -70,6 +70,13 @@ class FriParams:
     # tracked fix before arity-8 proofs are relied on adversarially
     # (alongside the ~60-bit query-budget remark above).
     arity: int = 2
+    # Proof-of-work grinding (EthSTARK-style): before query indices are
+    # drawn the prover finds a nonce whose transcript challenge has
+    # grind_bits low zero bits — each adds one conjectured soundness bit
+    # (an attacker pays 2^g hash attempts per transcript trial).  Only
+    # the Fr wrap pipeline implements it (air_wrap._fri_prove_fr and the
+    # Groth16 gadget); the Goldilocks fri_prove path keeps g=0.
+    grind_bits: int = 0
 
     @property
     def max_degree_ratio(self) -> int:
@@ -252,9 +259,14 @@ def _fri_prove_padded(
     for A in schedule:
         c = cur_m // A
         if cur_pad is not None and c < merkle.NATIVE_MIN_LEAVES:
-            # transition to host: one transfer of the padded buffer
-            full = gl.to_int(GF(cur_pad[0], cur_pad[1]))
-            cur_np = np.asarray(full[:cur_m], dtype=np.uint64)
+            # transition to host: slice the live prefix on device first
+            # (one eager slice op per transition shape, compiled once —
+            # pulling the whole padded buffer was a 32 MB transfer per
+            # proof over the tunnel)
+            cur_np = np.asarray(
+                gl.to_int(GF(cur_pad[0][:cur_m], cur_pad[1][:cur_m])),
+                dtype=np.uint64,
+            )
             cur_pad = None
         if cur_pad is not None:
             tree = merkle.commit_evals_device(cur_pad, c, A)
@@ -287,8 +299,10 @@ def _fri_prove_padded(
 
     # terminal: host interpolation (tiny)
     if cur_pad is not None:
-        full = gl.to_int(GF(cur_pad[0], cur_pad[1]))
-        cur_np = np.asarray(full[:cur_m], dtype=np.uint64)
+        cur_np = np.asarray(
+            gl.to_int(GF(cur_pad[0][:cur_m], cur_pad[1][:cur_m])),
+            dtype=np.uint64,
+        )
     tsize = cur_m
     coeffs_shifted = gl.np_intt(cur_np)
     s_inv = gl.h_inv(cur_shift)

@@ -371,7 +371,12 @@ def batch_fixed_base(scalars, g2: bool = False, chunk: int = 1 << 14) -> list:
                 h_ec_mul_jac_f(s, G2_GEN, HOST_FQ2) if s else None for s in scalars
             ]
         return [h_ec_mul_jac_f(s, G1_GEN) if s else None for s in scalars]
-    if jax.default_backend() == "cpu":
+    # Below ~2^13 scalars the device gather+tree-reduce program's cold
+    # compile dwarfs the work on the remote-compile TPU backend (the
+    # ~60-EC-add graph is tens of minutes of axon compile, measured
+    # round 5 — it stalled the e2e bench's small MiMC-wrap CRS); the
+    # host windowed fixed-base does these sizes in seconds.
+    if jax.default_backend() == "cpu" or n <= (1 << 13):
         return _host_fixed_base(scalars, g2)
     import jax.numpy as jnp
 

@@ -129,13 +129,24 @@ import jax.numpy as _jnp
 import os as _os
 
 PAD_ROWS = 1 << int(_os.environ.get("EZT_PAD_LOG2", "21"))
-SCAN_START = max(PAD_ROWS >> 2, 1)
+# second, smaller geometry for mid-size trees: a 2^18-leaf tree through
+# the 2^21 programs would pay 8x padding waste in device hashing
+PAD_MID = 1 << int(_os.environ.get("EZT_PAD_MID_LOG2", "18"))
 NATIVE_MIN_LEAVES = 1 << int(_os.environ.get("EZT_NATIVE_MIN_LOG2", "17"))
 QPAD = 128
 
-_LEAF_CACHE: dict = {}  # A -> jitted arrange+leaf program
-_TREE_PROG = None
-_OPEN_CACHE: dict = {}  # A -> jitted open program
+
+def _scan_start(pad: int) -> int:
+    # unroll 4 levels, then the constant-shape scan: the scan's
+    # redundant hashing below pad/16 is ~pad/8 extra hashes (vs ~pad/4
+    # of true tail work) while 4 unrolled bodies are a one-time ~2 min
+    # of axon compile
+    return max(pad >> 4, 1)
+
+
+_LEAF_CACHE: dict = {}  # (pad, A) -> jitted arrange+leaf program
+_TREE_CACHE: dict = {}  # pad -> jitted tree program
+_OPEN_CACHE: dict = {}  # (pad, A) -> jitted open program
 
 
 def _unroll_perms() -> bool:
@@ -147,38 +158,40 @@ def _unroll_perms() -> bool:
     return _jax.default_backend() == "cpu"
 
 
-def _leaf_prog(A: int):
-    """evals buffer (2*PAD_ROWS,) + runtime c -> padded leaf digests.
+def _leaf_prog(pad: int, A: int):
+    """evals buffer (2*PAD_ROWS,) + runtime c -> (pad, 4) leaf digests.
     Row j holds [x[j + k*c] for k < A]; rows >= c hash junk that the
     left-aligned real tree never references."""
-    if A in _LEAF_CACHE:
-        return _LEAF_CACHE[A]
+    key = (pad, A)
+    if key in _LEAF_CACHE:
+        return _LEAF_CACHE[key]
 
     unroll = _unroll_perms()
 
     def run(xlo, xhi, c):
-        j = _jnp.arange(PAD_ROWS, dtype=_jnp.int32)[:, None]
+        mask = xlo.shape[0] - 1
+        j = _jnp.arange(pad, dtype=_jnp.int32)[:, None]
         k = _jnp.arange(A, dtype=_jnp.int32)[None, :]
-        idx = (j + k * c) & (A * PAD_ROWS - 1)
-        rows = GF(xlo[idx], xhi[idx])  # (PAD_ROWS, A)
+        idx = (j + k * c) & mask
+        rows = GF(xlo[idx], xhi[idx])  # (pad, A)
         d = poseidon.hash_elements(rows, unroll=unroll)
         return d.lo, d.hi
 
-    _LEAF_CACHE[A] = _jax.jit(_build := run)
-    return _LEAF_CACHE[A]
+    _LEAF_CACHE[key] = _jax.jit(run)
+    return _LEAF_CACHE[key]
 
 
-def _tree_prog():
-    global _TREE_PROG
-    if _TREE_PROG is not None:
-        return _TREE_PROG
+def _tree_prog(pad: int):
+    if pad in _TREE_CACHE:
+        return _TREE_CACHE[pad]
 
     unroll = _unroll_perms()
+    scan_start = _scan_start(pad)
 
     def run(lo, hi):
         cur = GF(lo, hi)
         big = []
-        while cur.lo.shape[0] > SCAN_START:
+        while cur.lo.shape[0] > scan_start:
             even = GF(cur.lo[0::2], cur.hi[0::2])
             odd = GF(cur.lo[1::2], cur.hi[1::2])
             cur = poseidon.hash_two(even, odd, unroll=unroll)
@@ -206,22 +219,24 @@ def _tree_prog():
             tail = []
         return [(l.lo, l.hi) for l in big], tail
 
-    _TREE_PROG = _jax.jit(run)
-    return _TREE_PROG
+    _TREE_CACHE[pad] = _jax.jit(run)
+    return _TREE_CACHE[pad]
 
 
-def _open_prog(A: int):
+def _open_prog(pad: int, A: int):
     """(idx (QPAD,), c, eval-buffer planes, digest+big-level planes) ->
     leaf VALUE rows + the device-level sibling digests, one dispatch for
     the whole padded query batch."""
-    if A in _OPEN_CACHE:
-        return _OPEN_CACHE[A]
-    n_dev = PAD_ROWS.bit_length() - SCAN_START.bit_length() + 1
+    key = (pad, A)
+    if key in _OPEN_CACHE:
+        return _OPEN_CACHE[key]
+    n_dev = pad.bit_length() - _scan_start(pad).bit_length() + 1
 
     def run(idx, c, xlo, xhi, *levels):
+        mask = xlo.shape[0] - 1
         jj = _jnp.remainder(idx, c).astype(_jnp.int32)
         k = _jnp.arange(A, dtype=_jnp.int32)[None, :]
-        vidx = (jj[:, None] + k * c) & (A * PAD_ROWS - 1)
+        vidx = (jj[:, None] + k * c) & mask
         rows = (xlo[vidx], xhi[vidx])  # (QPAD, A)
         sibs = []
         cur = jj
@@ -232,8 +247,8 @@ def _open_prog(A: int):
             cur = cur >> 1
         return rows, sibs
 
-    _OPEN_CACHE[A] = _jax.jit(run)
-    return _OPEN_CACHE[A]
+    _OPEN_CACHE[key] = _jax.jit(run)
+    return _OPEN_CACHE[key]
 
 
 def _u64(lo, hi) -> np.ndarray:
@@ -247,9 +262,10 @@ class PaddedMerkleTree:
     device (opened via the shared _open_prog), scan-tail levels live on
     the host as combined-uint64 numpy arrays (real widths)."""
 
-    def __init__(self, c: int, A: int, ev_pad, dig_dev, big_dev, tails_np):
+    def __init__(self, c: int, A: int, pad: int, ev_pad, dig_dev, big_dev, tails_np):
         self.n = c  # real leaf count
         self.A = A
+        self.pad = pad  # geometry this tree was committed under
         self._ev = ev_pad  # (2*PAD_ROWS,) planes — leaf values
         self._dev_levels = [dig_dev] + list(big_dev)  # padded widths PAD..SCAN
         self._tails = tails_np  # [np uint64 (w, 4)], widths c>>n_dev .. 1
@@ -274,7 +290,7 @@ class PaddedMerkleTree:
         flat = []
         for lo, hi in self._dev_levels:
             flat += [lo, hi]
-        rows, sibs = _open_prog(self.A)(
+        rows, sibs = _open_prog(self.pad, self.A)(
             _jnp.asarray(pad_idx), _jnp.int32(self.n),
             self._ev[0], self._ev[1], *flat,
         )
@@ -323,11 +339,14 @@ def _commit_native(leaves: GF) -> MerkleTree:
 def commit_evals_device(ev_pad, c: int, A: int) -> PaddedMerkleTree:
     """Commit the (c, A)-arranged tree of a PADDED evaluation buffer
     (planes of shape (2*PAD_ROWS,), live prefix c*A, left-aligned) — the
-    layered FRI prover's commit step, all shared fixed-shape programs."""
-    n_dev = PAD_ROWS.bit_length() - SCAN_START.bit_length() + 1
+    layered FRI prover's commit step, all shared fixed-shape programs.
+    Geometry by size: trees up to PAD_MID leaves use the smaller program
+    set (8x less padding waste for the mid FRI layers)."""
+    pad = PAD_MID if c <= PAD_MID else PAD_ROWS
+    n_dev = pad.bit_length() - _scan_start(pad).bit_length() + 1
     assert c * A <= 2 * PAD_ROWS and c >= (1 << n_dev)
-    dlo, dhi = _leaf_prog(A)(ev_pad[0], ev_pad[1], _jnp.int32(c))
-    big, tail_dev = _tree_prog()(dlo, dhi)
+    dlo, dhi = _leaf_prog(pad, A)(ev_pad[0], ev_pad[1], _jnp.int32(c))
+    big, tail_dev = _tree_prog(pad)(dlo, dhi)
     tails_all = _jax.device_get(tail_dev)
     tails_np = []
     width = c >> n_dev
@@ -337,7 +356,7 @@ def commit_evals_device(ev_pad, c: int, A: int) -> PaddedMerkleTree:
         tails_np.append(_u64(np.asarray(tlo)[:width], np.asarray(thi)[:width]))
         width >>= 1
     return PaddedMerkleTree(
-        c=c, A=A, ev_pad=ev_pad, dig_dev=(dlo, dhi),
+        c=c, A=A, pad=pad, ev_pad=ev_pad, dig_dev=(dlo, dhi),
         big_dev=big, tails_np=tails_np,
     )
 

@@ -137,13 +137,29 @@ def commit_rows_gl(rows: GF, prefer_host: bool | None = None) -> MerkleTreeFr:
     Auto path selection mirrors merkle.commit_leaves: host bigints on CPU
     backends (tests), bulk Montgomery device work on TPU."""
     if prefer_host is None:
-        prefer_host = jax.default_backend() == "cpu"
+        # Round 5: the C++ Fr engine (native/poseidon_fr.cpp, ~30x the
+        # python bigint hasher) makes host commits the default everywhere
+        # — on the remote-compile TPU backend the device tree's per-shape
+        # cold compile dwarfs the work, and on CPU the XLA compile of
+        # the Fr perm graph was the round-4 suite pathology.
+        prefer_host = True
     if prefer_host:
+        from ..native import poseidon_fr as nfr
         from ..ops import goldilocks as gl
 
         ints = gl.to_int(rows)
         ints = np.atleast_2d(ints)
         packed = [pfr.pack_gl_host([int(v) for v in row]) for row in ints]
+        if nfr.available() and len(packed) >= 64:
+            k = len(packed[0])
+            arr = np.stack([nfr.to_limbs(rw) for rw in packed])
+            cap_leaf = (pfr._sha_to_fr("ezt-pfr-sponge/leaf") + k) % pfr.R
+            digests = nfr.hash_rows(arr, cap_leaf)
+            cap_node = pfr._sha_to_fr("ezt-pfr-sponge/node")
+            levels = [nfr.from_limbs(digests)]
+            for lv in nfr.tree(digests, cap_node):
+                levels.append(nfr.from_limbs(lv))
+            return MerkleTreeFr(levels=levels)
         return commit_packed_host(packed)
     packed = pfr.pack_gl_device(rows.lo, rows.hi)  # (L, N, K) non-mont
     packed_m = pfr.to_mont(packed)

@@ -1352,20 +1352,31 @@ def attest_chunk(child_proof: dict, num_queries_agg: int = 30) -> dict:
     }
 
 
-def attest_chunk_wrap(child_proof: dict, num_queries_wrap: int = 2) -> dict:
+def attest_chunk_wrap(
+    child_proof: dict,
+    num_queries_wrap: int = 2,
+    grind_bits: int = 0,
+    ext_blowup: int = 8,
+) -> dict:
     """attest_chunk in the WRAP PROFILE (models/air_wrap.py): the same
     verifier AIR + trace, committed with Poseidon2-Fr trees so the
     Groth16 final circuit verifies the attestation IN-CIRCUIT
-    (VERDICT r2 item 5).  num_queries_wrap is the wrap STARK's own FRI
-    query count — reduced relative to the GL attestation (each query
-    costs ~200K R1CS constraints; soundness accounting in
-    docs/RECURSION.md)."""
+    (VERDICT r2 item 5).  The wrap STARK's own soundness budget:
+    num_queries_wrap FRI queries at ratio ext_blowup/2 (conjectured
+    log2(ratio) bits each — raising ext_blowup trades prover LDE size
+    for bits/query) plus grind_bits proof-of-work bits; accounting in
+    docs/RECURSION.md."""
+    import dataclasses
+
     from . import air_wrap
 
     q_c = len(child_proof["fri"]["queries"])
     air, trace, publics, bnds = build_verifier_trace(child_proof, q_c)
+    if ext_blowup != air.ext_blowup:
+        air = dataclasses.replace(air, ext_blowup=ext_blowup)
     wrap_proof = air_wrap.prove_wrap(
-        air, trace, publics, bnds, num_queries=num_queries_wrap
+        air, trace, publics, bnds, num_queries=num_queries_wrap,
+        grind_bits=grind_bits,
     )
     return {
         "type": "chunk-attested-wrap",
@@ -1380,6 +1391,7 @@ def wrap_attestation_instance(
     expected_queries: Optional[int] = None,
     expected_rows: Optional[int] = None,
     expected_terminal: Optional[int] = None,
+    wrap_blowup: int = 8,
 ) -> tuple:
     """Pin + replay a wrap attestation's instance WITHOUT verifying the
     proof: returns (air, publics, boundaries).  Shared by the host
@@ -1410,6 +1422,10 @@ def wrap_attestation_instance(
     alphas, betas, indices = replay_child(header, q_c)
     publics, bnds = _instance(header, alphas, betas, indices)
     air, _, _, _ = attestation_air(n_c, q_c, terminal)
+    if wrap_blowup != air.ext_blowup:
+        import dataclasses
+
+        air = dataclasses.replace(air, ext_blowup=wrap_blowup)
     return air, publics, bnds
 
 
@@ -1418,15 +1434,26 @@ def verify_attestation_wrap(
     expected_queries: Optional[int] = None,
     expected_rows: Optional[int] = None,
     expected_terminal: Optional[int] = None,
+    expected_wrap_queries: Optional[int] = None,
+    expected_wrap_grind: Optional[int] = None,
+    wrap_blowup: int = 8,
 ) -> List[int]:
     """Host check of a wrap-profile attestation; returns the chunk
-    digest.  Raises ValueError on failure."""
+    digest.  Raises ValueError on failure.  expected_wrap_queries /
+    expected_wrap_grind pin the wrap STARK's OWN soundness parameters
+    (round-5 fix: previously the proof's claimed query count was
+    trusted on the host path)."""
     from . import air_wrap
 
     air, publics, bnds = wrap_attestation_instance(
-        att, expected_queries, expected_rows, expected_terminal
+        att, expected_queries, expected_rows, expected_terminal,
+        wrap_blowup=wrap_blowup,
     )
-    if not air_wrap.verify_wrap(air, att["wrap_proof"], publics, bnds):
+    if not air_wrap.verify_wrap(
+        air, att["wrap_proof"], publics, bnds,
+        expected_queries=expected_wrap_queries,
+        expected_grind_bits=expected_wrap_grind,
+    ):
         raise ValueError("wrap verifier-AIR proof rejected")
     from ..protocol.prover_service import chunk_digest as _cd
 

@@ -56,6 +56,47 @@ class TranscriptFr:
         self._pos = 1
         return out
 
+    # -- proof-of-work grinding (EthSTARK-style) ---------------------------
+
+    def grind(self, bits: int) -> int:
+        """Find + commit a nonce whose grind challenge has `bits` low
+        zero bits; each bit adds one conjectured soundness bit (the
+        attacker pays 2^bits transcript attempts).  Prover-side cost is
+        ~2^bits Poseidon2-Fr permutations (host)."""
+        base_state, base_pos = list(self._state), self._pos
+        try:
+            from ..native import poseidon_fr as nfr
+
+            if nfr.available():
+                nonce = nfr.grind(
+                    base_state, base_pos,
+                    pfr._sha_to_fr("ezt-absorb-fr/grind"),
+                    pfr._sha_to_fr("ezt-challenge-fr/grind-ok"),
+                    bits,
+                )
+                if nonce is not None:
+                    # replay on this transcript to advance its state
+                    self.absorb("grind", [nonce])
+                    c = self.challenge_fr("grind-ok")
+                    assert c & ((1 << bits) - 1) == 0
+                    return nonce
+        except Exception:
+            pass  # toolchain unavailable: python fallback below
+        nonce = 0
+        while True:
+            self._state, self._pos = list(base_state), base_pos
+            self.absorb("grind", [nonce])
+            c = self.challenge_fr("grind-ok")
+            if c & ((1 << bits) - 1) == 0:
+                return nonce
+            nonce += 1
+
+    def grind_check(self, nonce: int, bits: int) -> bool:
+        """Verifier side: replay the nonce, check the zero bits."""
+        self.absorb("grind", [int(nonce)])
+        c = self.challenge_fr("grind-ok")
+        return c & ((1 << bits) - 1) == 0
+
     def challenge_gl(self, label: str) -> int:
         """A canonical Goldilocks challenge: low 63 bits of one squeeze."""
         return self.challenge_fr(label) & ((1 << GL_CHALLENGE_BITS) - 1)

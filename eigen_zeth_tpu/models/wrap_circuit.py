@@ -194,22 +194,27 @@ def _bits_to_gl(b: Builder, bits: List[FrVal]) -> GLVal:
 # statement hash (host helper shared with the settlement verifier)
 
 
-def statement_tag(air: Air, shift: int, num_queries: int, boundaries) -> str:
+def statement_tag(
+    air: Air, shift: int, num_queries: int, boundaries, grind_bits: int = 0
+) -> str:
     c_root = air_wrap.constants_root(air, shift)
     bpos = ",".join(f"{b.col}:{b.row}" for b in boundaries)
+    grind = f"/g{grind_bits}" if grind_bits else ""
     return (
         f"wrap-stmt/{air.name}/{air.n}/{air.n_cols}/{air.ext_blowup}/"
-        f"{shift}/{num_queries}/{c_root}/{bpos}"
+        f"{shift}/{num_queries}/{c_root}/{bpos}{grind}"
     )
 
 
 def statement_hash(
-    air: Air, publics: List[int], boundaries, shift: int, num_queries: int
+    air: Air, publics: List[int], boundaries, shift: int, num_queries: int,
+    grind_bits: int = 0,
 ) -> int:
     """The single Groth16 public input: binds instance values under a
-    shape-derived domain tag.  Anyone can recompute it from the claimed
-    statement without seeing the proof."""
-    tag = statement_tag(air, shift, num_queries, boundaries)
+    shape-derived domain tag (including the wrap's own soundness
+    parameters — query count and grind bits).  Anyone can recompute it
+    from the claimed statement without seeing the proof."""
+    tag = statement_tag(air, shift, num_queries, boundaries, grind_bits)
     elems = [int(v) % gl.P for v in publics] + [
         int(b.value) % gl.P for b in boundaries
     ]
@@ -234,7 +239,8 @@ def build_wrap_verifier(
     no Groth16 proof can be produced for them."""
     b = Builder()
     pub_value = statement_hash(
-        air, publics, boundaries, int(proof["shift"]), int(proof["num_queries"])
+        air, publics, boundaries, int(proof["shift"]),
+        int(proof["num_queries"]), int(proof.get("grind_bits", 0)),
     )
     pub = b.witness_fr(pub_value)  # var 1: THE public input
     stmt = add_wrap_verifier(b, air, proof, publics, boundaries)
@@ -263,7 +269,8 @@ def build_final_circuit(entries: List[tuple], aggregator_addr: str) -> tuple:
     b = Builder()
     stmt_values = [
         statement_hash(
-            air, publics, bnds, int(proof["shift"]), int(proof["num_queries"])
+            air, publics, bnds, int(proof["shift"]),
+            int(proof["num_queries"]), int(proof.get("grind_bits", 0)),
         )
         for air, proof, publics, bnds in entries
     ]
@@ -296,7 +303,8 @@ def add_wrap_verifier(
     m = n * B
     shift = int(proof["shift"])
     num_queries = int(proof["num_queries"])
-    params = air.fri_params(num_queries)
+    grind_bits = int(proof.get("grind_bits", 0))
+    params = air.fri_params(num_queries, grind_bits)
     K = len(air.periodic)
     assert int(proof["n"]) == n and int(proof["n_cols"]) == C
     assert int(proof["ext_blowup"]) == B
@@ -317,7 +325,7 @@ def add_wrap_verifier(
     # the statement wire this proof's instance hashes to
     stmt = b.poseidon_fr_sponge(
         pub_wires + bval_wires,
-        tag=statement_tag(air, shift, num_queries, boundaries),
+        tag=statement_tag(air, shift, num_queries, boundaries, grind_bits),
     )
 
     # --- transcript replay ----------------------------------------------------
@@ -367,6 +375,18 @@ def add_wrap_verifier(
     for i, pw in enumerate(coeff_packed):
         kk = min(pfr.GL_PACK, len(final_coeffs) - i * pfr.GL_PACK)
         coeff_gl.extend(b.unpack_gl(pw, kk))
+
+    if params.grind_bits:
+        # proof-of-work gadget: replay the grind absorb/challenge and
+        # constrain the low grind_bits of the (already canonically
+        # decomposed) challenge to zero — ~1 permutation + 1
+        # decomposition, the cheapest conjectured bits in the circuit
+        nonce_w = b.witness_fr(int(fri["grind_nonce"]))
+        t.absorb("grind", [nonce_w])
+        gbits = t.challenge_bits("grind-ok")
+        zero = b.const_fr(0)
+        for i in range(params.grind_bits):
+            b.fr_assert_eq(gbits[i], zero)
 
     d_bits = (m // 2).bit_length() - 1  # query index bits
     idx_bits_per_q = [

@@ -176,7 +176,14 @@ class BatchProver:
         chunk_trace_rows: Optional[int] = None,
         agg_queries: int = 30,  # query count of the aggregation STARK itself
         wrap: str = "mimc",  # final-wrap circuit: "stark" | "mimc" | "linear"
-        wrap_queries: int = 2,  # FRI query count of the wrap-profile STARK
+        # Wrap-profile soundness budget (docs/RECURSION.md accounting):
+        # conjectured bits = wrap_queries·log2(wrap_blowup/2) + grind.
+        # Node default 11·4 + 12 = 56 conjectured bits (VERDICT r4 item
+        # 3: the round-4 default was 2 queries ≈ 8 bits).  Tests/dev
+        # profiles pass smaller values explicitly.
+        wrap_queries: int = 11,  # FRI query count of the wrap-profile STARK
+        wrap_grind_bits: int = 12,  # proof-of-work bits before the query draw
+        wrap_blowup: int = 32,  # wrap AIR LDE factor (FRI ratio = /2)
         crs_dir: Optional[str] = None,  # persisted Groth16 CRS artifacts
         max_wrap_leaves: int = 2,  # fixed final-circuit leaf count (padded)
     ):
@@ -234,6 +241,8 @@ class BatchProver:
         # 2-constraint packing wrap (CPU test profiles).
         self.wrap = wrap
         self.wrap_queries = wrap_queries
+        self.wrap_grind_bits = wrap_grind_bits
+        self.wrap_blowup = wrap_blowup
         # CRS artifacts: one fixed circuit shape per deployment (padded
         # to max_wrap_leaves), generated once and persisted (models/crs).
         if crs_dir is None:
@@ -372,7 +381,10 @@ class BatchProver:
                         # wrap-profile attestation: Fr-committed, so the
                         # final Groth16 circuit verifies it in-circuit
                         att = rec.attest_chunk_wrap(
-                            node["stark"], num_queries_wrap=self.wrap_queries
+                            node["stark"],
+                            num_queries_wrap=self.wrap_queries,
+                            grind_bits=self.wrap_grind_bits,
+                            ext_blowup=self.wrap_blowup,
                         )
                     else:
                         att = rec.attest_chunk(
@@ -424,19 +436,25 @@ class BatchProver:
 
             # pin the attested query count / trace size to the protocol
             # params: they are attacker-influenced attestation fields
-            check = (
-                rec.verify_attestation_wrap
-                if node["type"] == "chunk-attested-wrap"
-                else rec.verify_attestation
-            )
-            return check(
-                node,
+            kw = dict(
                 expected_queries=self.stark_params.num_queries,
                 expected_rows=self.chunk_trace_rows,
                 expected_terminal=min(
                     self.stark_params.terminal_size, 4 * self.chunk_trace_rows
                 ),
-            )  # raises on failure
+            )
+            if node["type"] == "chunk-attested-wrap":
+                # pin the wrap's OWN soundness parameters too (round-5
+                # fix: the proof's claimed query count must not be
+                # trusted)
+                return rec.verify_attestation_wrap(
+                    node,
+                    expected_wrap_queries=self.wrap_queries,
+                    expected_wrap_grind=self.wrap_grind_bits,
+                    wrap_blowup=self.wrap_blowup,
+                    **kw,
+                )
+            return rec.verify_attestation(node, **kw)  # raises on failure
         if node.get("type") == "aggregated":
             d1 = self._validate_recursive(json.dumps(node["children"][0]))
             d2 = self._validate_recursive(json.dumps(node["children"][1]))
@@ -538,6 +556,7 @@ class BatchProver:
                 expected_queries=self.stark_params.num_queries,
                 expected_rows=self.chunk_trace_rows,
                 expected_terminal=pinned_terminal,
+                wrap_blowup=self.wrap_blowup,
             )
             entries.append((air, child["wrap_proof"], publics, bnds))
         # pad to the FIXED leaf count with the canonical dummy attestation
@@ -590,7 +609,8 @@ class BatchProver:
         pad_key = crs_mod.shape_key([
             "wrap-padding", str(self.chunk_trace_rows), str(p.blowup),
             str(p.num_queries), str(p.terminal_size), str(p.shift),
-            str(self.wrap_queries),
+            str(self.wrap_queries), str(self.wrap_grind_bits),
+            str(self.wrap_blowup),
         ])
         path = os.path.join(self.crs_dir, f"{pad_key}-padding.json")
         child = None
@@ -605,7 +625,8 @@ class BatchProver:
                 [], 0, self.stark_params, n_rows=self.chunk_trace_rows
             )
             child = rec.attest_chunk_wrap(
-                chunk, num_queries_wrap=self.wrap_queries
+                chunk, num_queries_wrap=self.wrap_queries,
+                grind_bits=self.wrap_grind_bits, ext_blowup=self.wrap_blowup,
             )
             try:
                 os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -618,6 +639,7 @@ class BatchProver:
             expected_queries=self.stark_params.num_queries,
             expected_rows=self.chunk_trace_rows,
             expected_terminal=self._pinned_terminal(),
+            wrap_blowup=self.wrap_blowup,
         )
         self._padding_cache = (air, child["wrap_proof"], publics, bnds)
         return self._padding_cache
@@ -634,7 +656,8 @@ class BatchProver:
         return crs_mod.shape_key([
             "stark-wrap-final", str(self.chunk_trace_rows), str(p.blowup),
             str(p.num_queries), str(p.terminal_size), str(p.shift),
-            str(self.wrap_queries), str(self.max_wrap_leaves),
+            str(self.wrap_queries), str(self.wrap_grind_bits),
+            str(self.wrap_blowup), str(self.max_wrap_leaves),
             aggregator_addr.lower(),
         ])
 

@@ -108,3 +108,29 @@ def test_air_rejects_invalid_trace():
     bnds = [air_m.Boundary(0, 0, 3), air_m.Boundary(1, 0, 5)]
     with pytest.raises(AssertionError):
         air_m.prove(air, bad_trace, [3, 5], bnds, num_queries=8)
+
+
+def test_np_prover_matches_device_prover():
+    """Round-5 numpy AIR prover (zero XLA compiles — the CPU/node-scale
+    default) must emit byte-identical proofs to the jitted device path."""
+    import os
+
+    from eigen_zeth_tpu.models import air as air_m
+
+    n = 32
+    air = _toy_air(n)
+    trace, out = _toy_trace(n, 3, 5)
+    publics = [3, 5, out]
+    bnds = [
+        air_m.Boundary(0, 0, 3),
+        air_m.Boundary(1, 0, 5),
+        air_m.Boundary(1, n - 1, out),
+    ]
+    p_np = air_m.prove(air, trace, publics, bnds, num_queries=2)
+    os.environ["EZT_FORCE_DEV_AIR"] = "1"
+    try:
+        p_dev = air_m.prove(_toy_air(n), trace, publics, bnds, num_queries=2)
+    finally:
+        del os.environ["EZT_FORCE_DEV_AIR"]
+    assert p_np == p_dev
+    assert air_m.verify(air, p_np, publics, bnds)

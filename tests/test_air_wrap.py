@@ -168,3 +168,45 @@ def test_constants_root_deterministic(wrap_bundle):
     assert air_wrap.constants_root(air2, gl.MULTIPLICATIVE_GENERATOR) == int(
         proof["const_root"]
     )
+
+
+def test_wrap_grinding_and_blowup_roundtrip():
+    """Round-5 soundness knobs: proof-of-work grinding + raised LDE
+    blowup (FRI ratio = ext_blowup/2 -> more conjectured bits/query)."""
+    import dataclasses
+
+    n = 64
+    air = dataclasses.replace(_toy_air(n), ext_blowup=32)
+    trace, out = _toy_trace(n, 3, 5)
+    publics = [3, 5, out]
+    bnds = [
+        air_m.Boundary(0, 0, 3),
+        air_m.Boundary(1, 0, 5),
+        air_m.Boundary(1, n - 1, out),
+    ]
+    proof = air_wrap.prove_wrap(
+        air, trace, publics, bnds, num_queries=2, grind_bits=6
+    )
+    assert int(proof["grind_bits"]) == 6 and "grind_nonce" in proof["fri"]
+    assert air_wrap.verify_wrap(
+        air, proof, publics, bnds, expected_queries=2, expected_grind_bits=6
+    )
+    # pinning: wrong expected parameters must reject
+    assert not air_wrap.verify_wrap(
+        air, proof, publics, bnds, expected_queries=4, expected_grind_bits=6
+    )
+    assert not air_wrap.verify_wrap(
+        air, proof, publics, bnds, expected_queries=2, expected_grind_bits=8
+    )
+    # a tampered nonce must reject (the grind challenge check fails)
+    bad = dict(proof)
+    bad["fri"] = dict(proof["fri"])
+    bad["fri"]["grind_nonce"] = str(int(proof["fri"]["grind_nonce"]) + 1)
+    assert not air_wrap.verify_wrap(
+        air, bad, publics, bnds, expected_queries=2, expected_grind_bits=6
+    )
+    # a proof without grinding must not pass a grinding-pinned verifier
+    p0 = air_wrap.prove_wrap(air, trace, publics, bnds, num_queries=2)
+    assert not air_wrap.verify_wrap(
+        air, p0, publics, bnds, expected_queries=2, expected_grind_bits=6
+    )

@@ -22,6 +22,8 @@ def _mk_prover(tmp_path, **kw):
         agg_queries=8,
         wrap="stark",
         wrap_queries=2,
+        wrap_grind_bits=4,  # exercise the PoW gadget at test scale
+        wrap_blowup=8,
         use_jit=False,
         crs_dir=str(tmp_path / "crs"),
         max_wrap_leaves=2,

@@ -95,7 +95,7 @@ def test_two_process_prove_over_grpc(tmp_path):
     node_p = _spawn(
         ["run", "--database", "memory", "--settlement", "mock",
          "--rpc-port", str(rpc_port), "--auto-mine-interval", "0.3",
-         "--worker-conf", str(worker_conf),
+         "--worker-conf", str(worker_conf), "--dev-fund",
          "--prover-addr", f"http://127.0.0.1:{prover_port}"],
         node_log,
     )

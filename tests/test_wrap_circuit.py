@@ -291,6 +291,8 @@ def test_batch_prover_stark_wrap_e2e():
         use_jit=False,
         wrap="stark",
         wrap_queries=1,
+        wrap_grind_bits=0,  # keep the toy profile toy (node default is 12)
+        wrap_blowup=8,
         chunk_trace_rows=16,
     )
     chunks = prover.gen_batch_chunks("b1", [1, 2], 1001, "evm")
@@ -323,3 +325,40 @@ def test_batch_prover_stark_wrap_e2e():
     ent["row"][0] = str((int(ent["row"][0]) + 1) % gl.P)
     res = prover.gen_final_proof("b1", json.dumps(bad_node), "BN128", "0xagg")
     assert res.result_code == ProofResultCode.COMPLETED_ERROR
+
+
+def test_wrap_circuit_grinding_gadget():
+    """The PoW gadget: a ground proof's circuit is satisfiable; forging
+    the nonce (so the grind challenge's low bits are nonzero) makes the
+    builder emit an unsatisfiable witness."""
+    n = 16
+    air = _toy_air(n)
+    trace, out = _toy_trace(n, 3, 5)
+    publics = [3, 5, out]
+    bnds = [
+        air_m.Boundary(0, 0, 3),
+        air_m.Boundary(1, 0, 5),
+        air_m.Boundary(1, n - 1, out),
+    ]
+    proof = air_wrap.prove_wrap(
+        air, trace, publics, bnds, num_queries=1, grind_bits=4
+    )
+    r1cs, wit, pub = wrap_circuit.build_wrap_verifier(air, proof, publics, bnds)
+    assert r1cs.is_satisfied(wit)
+    # the statement hash must bind the grind parameter: same instance at
+    # grind 0 hashes differently
+    tag_g = wrap_circuit.statement_tag(
+        air, int(proof["shift"]), 1, bnds, 4
+    )
+    tag_0 = wrap_circuit.statement_tag(air, int(proof["shift"]), 1, bnds, 0)
+    assert tag_g != tag_0
+    # forged nonce -> query indices shift -> the builder's replay
+    # disagrees with the witness proof and raises
+    bad = dict(proof)
+    bad["fri"] = dict(proof["fri"])
+    bad["fri"]["grind_nonce"] = str(int(proof["fri"]["grind_nonce"]) + 1)
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        r2, w2, _ = wrap_circuit.build_wrap_verifier(air, bad, publics, bnds)
+        assert r2.is_satisfied(w2)

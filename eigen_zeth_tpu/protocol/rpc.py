@@ -305,15 +305,32 @@ class EigenRpcServer:
         if method.startswith("engine_forkchoiceUpdated"):
             state = params[0] or {}
             attrs = params[1] if len(params) > 1 else None
-            head = self.chain.get_block_by_number(self.chain.block_number())
             want = (state.get("headBlockHash") or "").lower()
-            if want and want != head["hash"].lower():
-                return {
-                    "payloadStatus": {"status": "SYNCING",
-                                      "latestValidHash": None,
-                                      "validationError": None},
-                    "payloadId": None,
-                }
+            if hasattr(self.chain, "set_forkchoice"):
+                # full forkchoice: head may REORG to a canonical ancestor
+                # (above finalized); safe/finalized markers advance
+                status = self.chain.set_forkchoice(
+                    head_hash=want or None,
+                    safe_hash=state.get("safeBlockHash"),
+                    finalized_hash=state.get("finalizedBlockHash"),
+                )
+                if status != "VALID":
+                    return {
+                        "payloadStatus": {"status": status,
+                                          "latestValidHash": None,
+                                          "validationError": None},
+                        "payloadId": None,
+                    }
+                head = self.chain.get_block_by_number(self.chain.block_number())
+            else:
+                head = self.chain.get_block_by_number(self.chain.block_number())
+                if want and want != head["hash"].lower():
+                    return {
+                        "payloadStatus": {"status": "SYNCING",
+                                          "latestValidHash": None,
+                                          "validationError": None},
+                        "payloadId": None,
+                    }
             payload_id = None
             if attrs:
                 ts = attrs.get("timestamp")

@@ -283,6 +283,19 @@ class Sequencer:
         # canonical seal: keccak(rlp(header)) — utils/header.py
         genesis["hash"] = header_m.block_hash(genesis)
         self._blocks: List[dict] = [genesis]
+        # PoS forkchoice markers (engine_forkchoiceUpdatedV3 state): the
+        # reference's CL (lighthouse bn/vc over a 64-validator genesis,
+        # scripts/launch-pos-eigen-zeth-node.sh:54-61) distinguishes
+        # head/safe/finalized; a reorg can move the head to any canonical
+        # ancestor ABOVE the finalized block, never below it.
+        self.safe_hash: str = genesis["hash"]
+        self.finalized_hash: str = genesis["hash"]
+        # per-block post-state snapshots back the reorg path; finalized
+        # blocks can never reorg, so only a bounded trailing window of
+        # snapshots is retained (2 epochs of 32 slots in mainnet terms)
+        self.SNAPSHOT_WINDOW = 64
+        self._state_snaps: Dict[int, dict] = {0: self.ledger.state.snapshot()}
+        self._basefee_snaps: Dict[int, int] = {0: self.ledger.ctx.basefee}
 
     # -- chain-client surface -------------------------------------------------
 
@@ -291,6 +304,17 @@ class Sequencer:
             return len(self._blocks) - 1
 
     def get_block_by_number(self, number, full_txs: bool = False):
+        if isinstance(number, str) and not number.startswith("0x"):
+            # block tags: safe/finalized resolve through the forkchoice
+            # markers the CL set (engine API), not simply to the head
+            if number in ("latest", "pending"):
+                number = self.block_number()
+            elif number == "earliest":
+                number = 0
+            elif number == "safe":
+                return self.get_block_by_hash(self.safe_hash)
+            elif number == "finalized":
+                return self.get_block_by_hash(self.finalized_hash)
         n = int(number, 16) if isinstance(number, str) else int(number)
         with self._lock:
             if 0 <= n < len(self._blocks):
@@ -304,6 +328,97 @@ class Sequencer:
                 if b["hash"].lower() == h:
                     return dict(b)
         return None
+
+    # -- PoS forkchoice (engine_forkchoiceUpdatedV3 state) -------------------
+
+    def _canon_number(self, block_hash: Optional[str]) -> Optional[int]:
+        """Canonical height of a block hash, or None.  Caller holds _lock."""
+        h = (block_hash or "").lower()
+        if not h or set(h[2:]) <= {"0"}:
+            return None
+        for i in range(len(self._blocks) - 1, -1, -1):
+            if self._blocks[i]["hash"].lower() == h:
+                return i
+        return None
+
+    def set_forkchoice(
+        self,
+        head_hash: Optional[str] = None,
+        safe_hash: Optional[str] = None,
+        finalized_hash: Optional[str] = None,
+    ) -> str:
+        """Apply a CL forkchoice update: optionally REORG the head to a
+        canonical ancestor (state rolls back to that block's post-state
+        snapshot; orphaned txs re-enter the mempool, as reth's reorg
+        handling re-injects them), then advance the safe/finalized
+        markers.  Rules enforced: safe and finalized must be canonical;
+        finalized is monotonic; nothing at or below the finalized height
+        ever reorgs.  Returns "VALID", or "SYNCING" for an unknown head
+        (the engine-API status for a head this EL has not seen).
+        Reference analog: the embedded reth's forkchoice handling under
+        lighthouse (launch-pos-eigen-zeth-node.sh:54-61)."""
+        with self._lock:
+            if head_hash:
+                n = self._canon_number(head_hash)
+                if n is None:
+                    return "SYNCING"
+                head = len(self._blocks) - 1
+                if n < head:
+                    fin = self._canon_number(self.finalized_hash) or 0
+                    if n < fin:
+                        raise ValueError(
+                            f"reorg target #{n} is below finalized #{fin}")
+                    snap = self._state_snaps.get(n)
+                    if snap is None:
+                        raise ValueError(
+                            f"reorg target #{n} outside the snapshot window")
+                    orphaned = self._blocks[n + 1:]
+                    del self._blocks[n + 1:]
+                    for b in orphaned:
+                        bn = int(b["number"], 16)
+                        for r in self._receipts_by_block.pop(bn, []):
+                            self._receipts.pop(r["transactionHash"], None)
+                            self._traces.pop(r["transactionHash"], None)
+                        for t in b["transactions"]:
+                            try:
+                                self.pool.add(t)
+                            except ValueError:
+                                pass  # pool full: tx is simply dropped
+                        self._state_snaps.pop(bn, None)
+                        self._basefee_snaps.pop(bn, None)
+                    # restore a COPY: later execution must not mutate the
+                    # retained snapshot (a second reorg to the same block
+                    # must see the original state)
+                    self.ledger.state.restore(
+                        {a: evm_m.Account(acc.nonce, acc.balance, acc.code,
+                                          dict(acc.storage))
+                         for a, acc in snap.items()})
+                    self.ledger.ctx.basefee = self._basefee_snaps.get(
+                        n, self.ledger.ctx.basefee)
+                    from ..utils.profiling import METRICS
+
+                    METRICS.inc("reorgs")
+            if finalized_hash:
+                fn = self._canon_number(finalized_hash)
+                if fn is not None:
+                    cur = self._canon_number(self.finalized_hash) or 0
+                    if fn < cur:
+                        raise ValueError(
+                            f"finalized must be monotonic ({fn} < {cur})")
+                    self.finalized_hash = self._blocks[fn]["hash"]
+                elif set(finalized_hash.lower()[2:]) - {"0"}:
+                    return "SYNCING"
+            if safe_hash:
+                sn = self._canon_number(safe_hash)
+                if sn is not None:
+                    fn = self._canon_number(self.finalized_hash) or 0
+                    if sn < fn:
+                        raise ValueError(
+                            f"safe #{sn} below finalized #{fn}")
+                    self.safe_hash = self._blocks[sn]["hash"]
+                elif set(safe_hash.lower()[2:]) - {"0"}:
+                    return "SYNCING"
+            return "VALID"
 
     def get_transaction_by_hash(self, txh: str) -> Optional[dict]:
         """The mined tx joined with its location (eth_getTransactionByHash)."""
@@ -522,6 +637,14 @@ class Sequencer:
                 )
                 self._receipts[r["transactionHash"]] = r
             self._receipts_by_block[n] = receipts
+            # post-state snapshot backs a future reorg to this block;
+            # drop snapshots past the finality window
+            self._state_snaps[n] = self.ledger.state.snapshot()
+            self._basefee_snaps[n] = self.ledger.ctx.basefee
+            for k in [k for k in self._state_snaps
+                      if k < n - self.SNAPSHOT_WINDOW]:
+                self._state_snaps.pop(k, None)
+                self._basefee_snaps.pop(k, None)
             return block
 
     def call_view(self, tx: dict) -> str:

@@ -51,15 +51,25 @@ class EngineClient:
         return out["result"]
 
 
-def tick(client: EngineClient, fee_recipient: str) -> dict | None:
+def tick(client: EngineClient, fee_recipient: str,
+         finality_depth: int = 2) -> dict | None:
     """One slot: full CL->EL payload handshake; returns the new block
-    header dict (or None when the EL reports no head advance)."""
+    header dict (or None when the EL reports no head advance).
+
+    safe tracks the head; finalized trails it by `finality_depth` blocks
+    — the slot-ticker analog of the beacon chain's justified/finalized
+    distinction (mainnet: head > safe(justified) > finalized, ~2 epochs
+    behind; the reference's lighthouse CL maintains the same three
+    markers, launch-pos-eigen-zeth-node.sh:54-61)."""
     head_n = int(client.call("eth_blockNumber", []), 16)
     head = client.call("eth_getBlockByNumber", [hex(head_n), False])
+    fin = client.call(
+        "eth_getBlockByNumber", [hex(max(0, head_n - finality_depth)), False]
+    )
     fcu_state = {
         "headBlockHash": head["hash"],
         "safeBlockHash": head["hash"],
-        "finalizedBlockHash": head["hash"],
+        "finalizedBlockHash": fin["hash"],
     }
     attrs = {
         "timestamp": hex(int(time.time())),
@@ -78,27 +88,33 @@ def tick(client: EngineClient, fee_recipient: str) -> dict | None:
     v = client.call("engine_newPayloadV3", [block])
     if v["status"] != "VALID":
         raise RuntimeError(f"newPayload rejected: {v}")
-    # advance the fork choice to the built block
+    # advance the fork choice to the built block; finality recomputed
+    # against the NEW head so the marker keeps its fixed trailing gap
+    fin2 = client.call(
+        "eth_getBlockByNumber",
+        [hex(max(0, head_n + 1 - finality_depth)), False],
+    )
     client.call(
         "engine_forkchoiceUpdatedV3",
         [{
             "headBlockHash": block["hash"],
             "safeBlockHash": block["hash"],
-            "finalizedBlockHash": head["hash"],
+            "finalizedBlockHash": fin2["hash"],
         }],
     )
     return block
 
 
 def run(el_url: str, slot_seconds: float, fee_recipient: str,
-        stop: threading.Event | None = None, max_slots: int | None = None) -> int:
+        stop: threading.Event | None = None, max_slots: int | None = None,
+        finality_depth: int = 2) -> int:
     """Slot loop; returns the number of blocks produced."""
     client = EngineClient(el_url)
     stop = stop or threading.Event()
     produced = 0
     while not stop.is_set():
         try:
-            block = tick(client, fee_recipient)
+            block = tick(client, fee_recipient, finality_depth=finality_depth)
             if block is not None:
                 produced += 1
                 log.info(
@@ -123,13 +139,15 @@ def main(argv=None) -> int:
                     help="slot time in seconds (testdata/layer2/pos: 12 s)")
     ap.add_argument("--fee-recipient", default="0x" + "00" * 20)
     ap.add_argument("--max-slots", type=int, default=None)
+    ap.add_argument("--finality-depth", type=int, default=2,
+                    help="blocks the finalized marker trails the head")
     args = ap.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     stop = threading.Event()
     for sig in (signal.SIGINT, signal.SIGTERM):
         signal.signal(sig, lambda *_: stop.set())
     run(args.el, args.slot, args.fee_recipient, stop=stop,
-        max_slots=args.max_slots)
+        max_slots=args.max_slots, finality_depth=args.finality_depth)
     return 0
 
 

@@ -138,3 +138,100 @@ def test_cl_driver_slot_produces_block_via_engine_flow():
         assert b1["miner"] == "0x" + "ab" * 20
     finally:
         server.stop()
+
+
+# -- PoS forkchoice depth: safe/finalized markers + reorg (VERDICT r4 item 10)
+
+
+def test_forkchoice_reorg_rolls_back_state_and_requeues_txs():
+    """engine_forkchoiceUpdatedV3 with headBlockHash = a canonical
+    ANCESTOR reorgs the chain: blocks above it are orphaned, world state
+    restores to that block's post-state, and the orphaned txs re-enter
+    the mempool (reth re-injects reorged txs the same way)."""
+    seq, server = _mk()
+    rcpt_a, rcpt_b = "0x" + "a1" * 20, "0x" + "b2" * 20
+    seq.send_raw_transaction({
+        "nonce": "0x0", "gasPrice": "0x2", "gas": "0x5208",
+        "from": SENDER, "to": rcpt_a, "value": "0x5", "input": "0x",
+    })
+    b1 = seq.build_block(timestamp=1_700_000_000)
+    assert seq.ledger.state.get(rcpt_a).balance == 5
+    root1 = b1["stateRoot"]
+    seq.send_raw_transaction({
+        "nonce": "0x1", "gasPrice": "0x2", "gas": "0x5208",
+        "from": SENDER, "to": rcpt_b, "value": "0x7", "input": "0x",
+    })
+    b2 = seq.build_block(timestamp=1_700_000_012)
+    assert seq.ledger.state.get(rcpt_b).balance == 7
+    orphan_txh = b2["transactions"][0]["hash"] if b2["transactions"][0].get(
+        "hash") else None
+    assert seq.block_number() == 2 and len(seq.pool) == 0
+
+    r = server.dispatch("engine_forkchoiceUpdatedV3", [
+        {"headBlockHash": b1["hash"], "safeBlockHash": b1["hash"],
+         "finalizedBlockHash": b1["hash"]},
+    ])
+    assert r["payloadStatus"]["status"] == "VALID"
+    # head rolled back; block-2 effects undone; its tx is pending again
+    assert seq.block_number() == 1
+    assert seq.get_block_by_number(1)["stateRoot"] == root1
+    assert seq.ledger.state.get(rcpt_b).balance == 0
+    assert seq.ledger.state.get(rcpt_a).balance == 5
+    assert len(seq.pool) == 1
+    if orphan_txh:
+        assert seq.get_transaction_receipt(orphan_txh) is None
+    # rebuilding mines the re-injected tx on the new branch
+    b2p = seq.build_block(timestamp=1_700_000_024)
+    assert len(b2p["transactions"]) == 1
+    assert seq.ledger.state.get(rcpt_b).balance == 7
+    assert b2p["hash"] != b2["hash"]  # different branch (timestamp)
+
+
+def test_forkchoice_safe_finalized_markers_and_tags():
+    """safe/finalized markers set by the CL resolve the eth block tags,
+    finalized is monotonic, and nothing below finalized can reorg."""
+    import pytest as _pytest
+
+    seq, server = _mk()
+    blocks = [seq.build_block(timestamp=1_700_000_000 + 12 * i)
+              for i in range(1, 4)]
+    b1, b2, b3 = blocks
+    r = server.dispatch("engine_forkchoiceUpdatedV3", [
+        {"headBlockHash": b3["hash"], "safeBlockHash": b2["hash"],
+         "finalizedBlockHash": b1["hash"]},
+    ])
+    assert r["payloadStatus"]["status"] == "VALID"
+    assert seq.get_block_by_number("safe")["hash"] == b2["hash"]
+    assert seq.get_block_by_number("finalized")["hash"] == b1["hash"]
+    assert seq.get_block_by_number("latest")["hash"] == b3["hash"]
+    # finalized cannot move backwards
+    with _pytest.raises(ValueError, match="monotonic"):
+        seq.set_forkchoice(finalized_hash=seq.get_block_by_number(0)["hash"])
+    # advancing finalized to b2 then reorging below it is rejected
+    assert seq.set_forkchoice(finalized_hash=b2["hash"]) == "VALID"
+    with _pytest.raises(ValueError, match="below finalized"):
+        seq.set_forkchoice(head_hash=b1["hash"])
+    # an unknown (non-canonical) safe hash reports SYNCING
+    assert seq.set_forkchoice(safe_hash="0x" + "77" * 32) == "SYNCING"
+
+
+def test_cl_driver_finality_trails_head():
+    """The slot ticker's finalized marker trails the head by
+    finality_depth blocks (the justified/finalized analog)."""
+    from eigen_zeth_tpu.protocol import kv, rpc
+    from eigen_zeth_tpu.sequencer import cl_driver
+
+    seq = Sequencer()
+    server = rpc.EigenRpcServer(kv.MemDb(), seq).start()
+    try:
+        produced = cl_driver.run(
+            f"http://127.0.0.1:{server.port}", slot_seconds=0.05,
+            fee_recipient="0x" + "ab" * 20, max_slots=4, finality_depth=2,
+        )
+        assert produced == 4 and seq.block_number() == 4
+        fin = seq.get_block_by_number("finalized")
+        safe = seq.get_block_by_number("safe")
+        assert int(safe["number"], 16) == 4
+        assert int(fin["number"], 16) == 2  # trails the head by 2
+    finally:
+        server.stop()
